@@ -28,9 +28,10 @@ def torch_blank_synthesis(pred_logits, pred_boxes, eps):
 
 
 def make_inputs(rng, B=2, nq=16, K=5):
-    logits = rng.standard_normal((B, nq, K)).astype(np.float32)
-    # push some rows towards prob-sum > 1 to hit the renorm branch
-    logits[0, :4] += 3.0
+    # mostly low probabilities (sum < 1 - eps branch), a few boosted rows
+    # to hit the renormalization branch
+    logits = rng.standard_normal((B, nq, K)).astype(np.float32) - 3.0
+    logits[0, :4] += 6.0
     boxes = rng.uniform(0, 1, (B, nq, 4)).astype(np.float32)
     return logits, boxes
 
