@@ -1,0 +1,139 @@
+"""Recognition metrics: CER/WER (Latin), AR/CR (Chinese), SER/WA
+(ciphers), plus the reference's string standardization.
+
+Ported behavior from reference evaluation.py:
+- CER: Levenshtein(pred, gt)/len(gt) per line; corpus ("DAN") CER =
+  sum(dist)/sum(len) after standardization (:296-334, 519-533)
+- WER over space-split words (:357-412)
+- AR = 1 - CER; CR = (len - del - sub)/len via edit-op backtrace
+  (:242-292, 560-571)
+- SER = symbol error rate, WA = positional word accuracy (:214-241)
+- standardization: collapse whitespace, strip (:430-450)
+
+Pure python/numpy (editdistance is not available in this image; the
+Levenshtein DP below is vectorized over the shorter axis).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def levenshtein(a: Sequence, b: Sequence) -> int:
+    """Edit distance between two sequences (numpy DP rows)."""
+    if len(a) < len(b):
+        a, b = b, a
+    if len(b) == 0:
+        return len(a)
+    ids: dict = {}
+    enc = lambda x: ids.setdefault(x, len(ids))
+    b_arr = np.asarray([enc(x) for x in b], np.int64)
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    for i, ca in enumerate(a, start=1):
+        cur = np.empty_like(prev)
+        cur[0] = i
+        sub = prev[:-1] + (b_arr != enc(ca))
+        # cur[j] = min(prev[j] + 1, sub[j-1], cur[j-1] + 1) — the last term
+        # needs a sequential pass; do the first two vectorized then fix up
+        cur[1:] = np.minimum(prev[1:] + 1, sub)
+        for j in range(1, len(b) + 1):
+            if cur[j - 1] + 1 < cur[j]:
+                cur[j] = cur[j - 1] + 1
+        prev = cur
+    return int(prev[-1])
+
+
+def edit_operations(pred: Sequence, gt: Sequence) -> Tuple[int, int, int]:
+    """(n_sub, n_del, n_ins) wrt gt via DP backtrace (reference
+    evaluation.py:242-284). 'del' = gt chars missing from pred."""
+    m, n = len(pred), len(gt)
+    dp = np.zeros((m + 1, n + 1), np.int32)
+    dp[:, 0] = np.arange(m + 1)
+    dp[0, :] = np.arange(n + 1)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            c = 0 if pred[i - 1] == gt[j - 1] else 1
+            dp[i, j] = min(dp[i - 1, j] + 1, dp[i, j - 1] + 1, dp[i - 1, j - 1] + c)
+    i, j = m, n
+    subs = dels = ins = 0
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and dp[i, j] == dp[i - 1, j - 1] + (pred[i - 1] != gt[j - 1]):
+            subs += int(pred[i - 1] != gt[j - 1])
+            i, j = i - 1, j - 1
+        elif j > 0 and dp[i, j] == dp[i, j - 1] + 1:
+            dels += 1  # gt char not produced
+            j -= 1
+        else:
+            ins += 1  # extra pred char
+            i -= 1
+    return subs, dels, ins
+
+
+def standardize(text: str) -> str:
+    """reference evaluation.py:430-450 process_gt_string/process_pred_string."""
+    text = re.sub(r"\s+", " ", text)
+    return text.strip()
+
+
+def cer(pred: str, gt: str) -> float:
+    gt = gt if len(gt) else " "
+    return levenshtein(list(pred), list(gt)) / max(len(gt), 1)
+
+
+def wer(pred: str, gt: str) -> float:
+    p = pred.split(" ")
+    g = gt.split(" ")
+    return levenshtein(p, g) / max(len(g), 1)
+
+
+def corpus_cer(preds: List[str], gts: List[str]) -> float:
+    """'DAN-style' corpus CER: sum(dist)/sum(len) after standardization
+    (reference evaluation.py:519-533)."""
+    num = den = 0
+    for p, g in zip(preds, gts):
+        p, g = standardize(p), standardize(g)
+        num += levenshtein(list(p), list(g))
+        den += len(g)
+    return num / max(den, 1)
+
+
+def corpus_wer(preds: List[str], gts: List[str]) -> float:
+    num = den = 0
+    for p, g in zip(preds, gts):
+        p, g = standardize(p), standardize(g)
+        num += levenshtein(p.split(" "), g.split(" "))
+        den += len(g.split(" "))
+    return num / max(den, 1)
+
+
+def ar_cr(pred_labels: List[Sequence[int]], gt_labels: List[Sequence[int]]):
+    """CASIA metrics (reference evaluation.py:242-292, 560-571):
+    AR = 1 - (sub+del+ins)/len, CR = (len - del - sub)/len, corpus level."""
+    total_len = total_sub = total_del = total_ins = 0
+    for p, g in zip(pred_labels, gt_labels):
+        s, d, i = edit_operations(list(p), list(g))
+        total_sub += s
+        total_del += d
+        total_ins += i
+        total_len += len(g)
+    L = max(total_len, 1)
+    ar = (L - total_sub - total_del - total_ins) / L
+    cr = (L - total_del - total_sub) / L
+    return ar, cr
+
+
+def ser_wa(pred_labels: List[Sequence[int]], gt_labels: List[Sequence[int]]):
+    """Cipher metrics (reference evaluation.py:214-241, 573-582):
+    SER = corpus symbol error rate; WA = positional symbol accuracy."""
+    num = den = 0
+    correct = total = 0
+    for p, g in zip(pred_labels, gt_labels):
+        num += levenshtein(list(p), list(g))
+        den += len(g)
+        for k in range(min(len(p), len(g))):
+            correct += int(p[k] == g[k])
+        total += len(g)
+    return num / max(den, 1), correct / max(total, 1)
