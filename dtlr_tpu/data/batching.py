@@ -1,0 +1,206 @@
+"""Bucketed static-shape batching.
+
+The reference pads each batch to its own max H/W (reference
+util/misc.py:375-397 NestedTensor) — dynamic shapes, one CUDA graph per
+batch. On TPU each distinct shape is a compiled program, so batches are
+padded to a small set of *buckets*:
+
+- one random min-side scale is drawn per batch from the augmentation
+  scale list (the reference draws per sample; drawing per batch keeps
+  intra-batch sizes aligned and padding waste low)
+- images are resized (aspect-preserving, max_size cap), augmented,
+  normalized, then padded to (bucket_h, W_max)
+- bucket_h is the next multiple of ``h_quant`` >= batch max height, so
+  jit compiles a handful of programs
+
+Targets are padded to ``max_targets`` with a validity mask. Box coords
+stay normalized to the *unpadded* resized image (the model's
+valid-ratio machinery expects exactly this, reference
+deformable_transformer.py:239-246).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from . import transforms as T
+
+
+@dataclass
+class Batch:
+    images: np.ndarray     # (B, H, W, 3) float32, ImageNet-normalized
+    valid_hw: np.ndarray   # (B, 2) int32
+    labels: np.ndarray     # (B, N) int32
+    boxes: np.ndarray      # (B, N, 4) float32 normalized cxcywh
+    valid: np.ndarray      # (B, N) bool
+    texts: List[str] = field(default_factory=list)
+
+
+def _round_up(x: int, q: int) -> int:
+    return ((x + q - 1) // q) * q
+
+
+def prepare_sample(
+    rng: np.random.Generator,
+    image: np.ndarray,            # (H, W, 3) float32 [0,1]
+    boxes: Optional[np.ndarray],  # (n, 4) pixel xyxy or None
+    scale: int,
+    max_size: int,
+    train: bool,
+    truly_random_erasing: bool = False,
+    instance_erasing: bool = False,
+    labels: Optional[np.ndarray] = None,
+    space_label: int = 165,
+):
+    img, bx = T.resize_min_side(image, boxes, scale, max_size)
+    if train:
+        if rng.random() < 0.5:
+            img = T.adjust_brightness_contrast(rng, img)
+        if rng.random() < 0.1:
+            img = T.lighting_noise(rng, img)
+        if rng.random() < 0.3:
+            img = T.gaussian_blur(rng, img, sigma=(0.1, 1.0))
+        if truly_random_erasing:
+            img = T.random_erasing_full_vertical(rng, img)
+        if instance_erasing and bx is not None and labels is not None:
+            img = T.instance_aware_erasing(rng, img, bx, labels, space_label)
+        for _ in range(3):
+            img = T.random_erasing(rng, img, p=0.2)
+    img, bx = T.normalize(img, bx)
+    return img, bx
+
+
+def collate(
+    samples: Sequence[dict],
+    max_targets: int,
+    w_max: int = 1344,
+    h_quant: int = 64,
+    pad_value: float = 0.0,
+) -> Batch:
+    """samples: dicts with image (H,W,3) normalized, boxes (n,4) cxcywh
+    normalized or None, labels (n,), text."""
+    B = len(samples)
+    hmax = _round_up(max(s["image"].shape[0] for s in samples), h_quant)
+    wmax = w_max
+
+    images = np.full((B, hmax, wmax, 3), pad_value, np.float32)
+    valid_hw = np.zeros((B, 2), np.int32)
+    labels = np.zeros((B, max_targets), np.int32)
+    boxes = np.zeros((B, max_targets, 4), np.float32)
+    valid = np.zeros((B, max_targets), bool)
+    texts = []
+    for i, s in enumerate(samples):
+        img = s["image"]
+        h, w = img.shape[:2]
+        if w > wmax:  # safety: crop overly wide images
+            img = img[:, :wmax]
+            w = wmax
+        images[i, :h, :w] = img
+        valid_hw[i] = (h, w)
+        lab = np.asarray(s.get("labels", []), np.int32).reshape(-1)
+        n = min(len(lab), max_targets)
+        labels[i, :n] = lab[:n]
+        if s.get("boxes") is not None and len(s["boxes"]):
+            boxes[i, :n] = np.asarray(s["boxes"], np.float32)[:n]
+        valid[i, :n] = True
+        texts.append(s.get("text", ""))
+    return Batch(images, valid_hw, labels, boxes, valid, texts)
+
+
+class BucketBatcher:
+    """Iterator producing Batches from a sample source.
+
+    ``source`` yields dicts {image [0,1] float32 HWC, boxes pixel-xyxy
+    or None, labels, text}. A background thread keeps ``prefetch``
+    batches ready (replaces the reference's 10 DataLoader workers,
+    main_synthetic.py:214-217, on the 1-core TPU host).
+    """
+
+    def __init__(
+        self,
+        source: Iterable[dict],
+        batch_size: int,
+        scales: Sequence[int],
+        max_size: int = 1333,
+        max_targets: int = 256,
+        w_max: int = 1344,
+        h_quant: int = 64,
+        train: bool = True,
+        truly_random_erasing: bool = False,
+        instance_erasing: bool = False,
+        space_label: int = 165,
+        seed: int = 0,
+        prefetch: int = 4,
+    ):
+        self.source = iter(source)
+        self.batch_size = batch_size
+        self.scales = list(scales)
+        self.max_size = max_size
+        self.max_targets = max_targets
+        self.w_max = w_max
+        self.h_quant = h_quant
+        self.train = train
+        self.truly_random_erasing = truly_random_erasing
+        self.instance_erasing = instance_erasing
+        self.space_label = space_label
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._thread: Optional[threading.Thread] = None
+        self._stop = False
+
+    def _make_batch(self) -> Batch:
+        scale = int(self.rng.choice(self.scales)) if self.train else self.scales[-1]
+        prepared = []
+        while len(prepared) < self.batch_size:
+            raw = next(self.source)
+            img, bx = prepare_sample(
+                self.rng,
+                raw["image"],
+                raw.get("boxes"),
+                scale,
+                self.max_size,
+                self.train,
+                self.truly_random_erasing,
+                self.instance_erasing,
+                labels=np.asarray(raw.get("labels", []), np.int32),
+                space_label=self.space_label,
+            )
+            prepared.append({
+                "image": img,
+                "boxes": bx,
+                "labels": raw.get("labels", []),
+                "text": raw.get("text", ""),
+            })
+        return collate(prepared, self.max_targets, self.w_max, self.h_quant)
+
+    def _worker(self):
+        while not self._stop:
+            try:
+                self._queue.put(self._make_batch())
+            except StopIteration:
+                self._queue.put(None)
+                return
+            except Exception as exc:  # surface errors to the consumer
+                self._queue.put(exc)
+                return
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+        while True:
+            batch = self._queue.get()
+            if batch is None:
+                return
+            if isinstance(batch, Exception):
+                raise batch
+            yield batch
+
+    def stop(self):
+        self._stop = True

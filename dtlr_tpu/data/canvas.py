@@ -1,0 +1,86 @@
+"""Procedural document-like canvas backgrounds.
+
+The reference composites text onto crops of real background images plus
+noise patterns from a resources/ folder (reference
+datasets/generate_canva.py:94-246). Those assets are not shipped; this
+module generates equivalent document-looking backgrounds procedurally:
+paper-tone base with low-frequency shading, optional stains/holes noise
+patches, global blur and occasional grayscale conversion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFilter
+
+
+def generate_background(rng: np.random.Generator, w: int, h: int) -> Image.Image:
+    base = np.asarray(
+        [rng.integers(185, 250), rng.integers(175, 245), rng.integers(160, 235)],
+        np.float32,
+    )
+    img = np.ones((h, w, 3), np.float32) * base[None, None, :]
+
+    # low-frequency shading: a few random smooth gradients
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for _ in range(rng.integers(1, 4)):
+        cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+        sx = rng.uniform(w * 0.3, w * 1.5)
+        sy = rng.uniform(h * 0.3, h * 1.5)
+        amp = rng.uniform(-25, 25)
+        img += amp * np.exp(
+            -(((xx - cx) / sx) ** 2 + ((yy - cy) / sy) ** 2)
+        )[:, :, None]
+
+    # fine grain noise
+    img += rng.normal(0, rng.uniform(1, 6), (h, w, 1)).astype(np.float32)
+    pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+    if rng.random() < 0.3:
+        pil = pil.filter(ImageFilter.GaussianBlur(rng.uniform(0.3, 1.2)))
+    return pil
+
+
+def add_noise_patterns(rng: np.random.Generator, img: Image.Image) -> Image.Image:
+    """0-5 stains / holes / phantom marks with rotation+opacity
+    (reference generate_canva.py:142-219)."""
+    w, h = img.size
+    overlay = Image.new("RGBA", (w, h), (0, 0, 0, 0))
+    draw = ImageDraw.Draw(overlay)
+    for _ in range(rng.integers(0, 6)):
+        kind = rng.choice(["stain", "hole", "streak"])
+        opacity = int(rng.integers(20, 90))
+        shade = int(rng.integers(0, 120))
+        cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+        if kind == "stain":
+            rx, ry = rng.uniform(5, w * 0.08), rng.uniform(5, h * 0.4)
+            draw.ellipse([cx - rx, cy - ry, cx + rx, cy + ry],
+                         fill=(shade, shade, shade, opacity))
+        elif kind == "hole":
+            r = rng.uniform(2, min(w, h) * 0.05)
+            bright = int(rng.integers(200, 255))
+            draw.ellipse([cx - r, cy - r, cx + r, cy + r],
+                         fill=(bright, bright, bright, opacity + 60))
+        else:  # streak
+            x2, y2 = cx + rng.uniform(-w * 0.3, w * 0.3), cy + rng.uniform(-10, 10)
+            draw.line([cx, cy, x2, y2], fill=(shade, shade, shade, opacity),
+                      width=int(rng.integers(1, 4)))
+    overlay = overlay.filter(ImageFilter.GaussianBlur(rng.uniform(0.3, 2.0)))
+    return Image.alpha_composite(img.convert("RGBA"), overlay).convert("RGB")
+
+
+def compose_canvas(
+    rng: np.random.Generator, text_layer: Image.Image
+) -> Image.Image:
+    """Paste an RGBA text layer onto a generated background; global blur
+    and 50% grayscale (reference generate_canva.py:229-246)."""
+    w, h = text_layer.size
+    bg = generate_background(rng, w, h)
+    bg = add_noise_patterns(rng, bg)
+    canvas = bg.convert("RGBA")
+    canvas.alpha_composite(text_layer)
+    canvas = canvas.convert("RGB")
+    if rng.random() < 0.5:
+        canvas = canvas.filter(ImageFilter.GaussianBlur(rng.uniform(0.2, 1.0)))
+    if rng.random() < 0.5:
+        canvas = canvas.convert("L").convert("RGB")
+    return canvas
