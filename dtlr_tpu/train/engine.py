@@ -1,0 +1,208 @@
+"""Trainer: wires config -> model -> optimizer -> jitted steps -> data.
+
+Replaces reference engine.py + the orchestration halves of
+main_synthetic.py / finetuning.py with a mesh-aware loop. One Trainer
+instance drives either detection pretraining or CTC finetuning.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching import Batch, BucketBatcher
+from ..eval.decode import greedy_decode, greedy_labels, labels_to_text
+from ..eval.metrics import corpus_cer, corpus_wer
+from ..losses.criterion import build_weight_dict
+from ..models.dino import build_dino_from_config
+from ..parallel.mesh import batch_sharding, create_mesh, replicated, shard_batch
+from ..utils.logging_utils import MetricLogger, append_log_line, setup_logger
+from . import checkpoints as ckpt_lib
+from .optim import build_head_only_optimizer, build_optimizer
+from .train_step import (
+    TrainState,
+    init_train_state,
+    make_ctc_train_step,
+    make_detection_train_step,
+    make_eval_step,
+)
+
+
+def batch_to_arrays(batch: Batch) -> Dict[str, np.ndarray]:
+    return {
+        "images": batch.images,
+        "valid_hw": batch.valid_hw,
+        "labels": batch.labels,
+        "boxes": batch.boxes,
+        "valid": batch.valid,
+    }
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg,
+        mode: str = "detection",        # 'detection' | 'ctc'
+        output_dir: str = "outputs/run",
+        charset: Optional[List[str]] = None,
+        seed: int = 42,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.mode = mode
+        self.output_dir = output_dir
+        self.logger = setup_logger(output_dir)
+        self.charset = charset
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else create_mesh(cfg.get_default("mesh_axis", "data"))
+        self.model = build_dino_from_config(cfg)
+        self.weight_dict = build_weight_dict(cfg)
+        self.state: Optional[TrainState] = None
+        self.tx = None
+        self._step_fn = None
+        self._eval_fn = None
+        self.epoch = 0
+
+    # ------------------------------------------------------------ build
+    def init_params(self, sample_batch: Dict[str, np.ndarray], rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
+        targets = {
+            "labels": jnp.asarray(sample_batch["labels"]),
+            "boxes": jnp.asarray(sample_batch["boxes"]),
+            "valid": jnp.asarray(sample_batch["valid"]),
+        }
+        params = self.model.init(
+            {"params": rng, "dn": rng},
+            jnp.asarray(sample_batch["images"]),
+            jnp.asarray(sample_batch["valid_hw"]),
+            targets if self.mode == "detection" else None,
+            train=self.mode == "detection",
+        )
+        n = sum(x.size for x in jax.tree.leaves(params))
+        self.logger.info(f"model params: {n / 1e6:.2f}M")
+        return params
+
+    def build(self, params, head_only: bool = False):
+        cfg = self.cfg
+        if head_only:
+            self.tx = build_head_only_optimizer(cfg, params)
+        else:
+            self.tx = build_optimizer(cfg, params)
+        use_ema = cfg.get_default("use_ema", False)
+        self.state = init_train_state(params, self.tx, use_ema=use_ema)
+        if self.mode == "detection":
+            self._step_fn = make_detection_train_step(
+                self.model.apply, self.tx, cfg.num_classes, self.weight_dict,
+                focal_alpha=cfg.get_default("focal_alpha", 0.25),
+                matcher_impl=cfg.get_default("matcher_impl", "jax"),
+                cost_class=cfg.get_default("set_cost_class", 2.0),
+                cost_bbox=cfg.get_default("set_cost_bbox", 5.0),
+                cost_giou=cfg.get_default("set_cost_giou", 2.0),
+                ema_decay=cfg.get_default("ema_decay", 0.9997) if use_ema else 0.0,
+            )
+        else:
+            self._step_fn = make_ctc_train_step(
+                self.model.apply, self.tx,
+                ctc_eps=cfg.get_default("ctc_eps", 0.003),
+                ctc_coef=cfg.get_default("CTC_loss_coef", 1.0),
+                ema_decay=cfg.get_default("ema_decay", 0.9997) if use_ema else 0.0,
+            )
+        self._eval_fn = make_eval_step(self.model.apply, cfg.get_default("ctc_eps", 0.003))
+
+    # ------------------------------------------------------------ loops
+    def train_epoch(
+        self,
+        batches: Iterable[Batch],
+        max_iterations: int = -1,
+        print_freq: int = 50,
+        rng=None,
+    ) -> Dict[str, float]:
+        assert self.state is not None, "call build() first"
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed + self.epoch)
+        mlog = MetricLogger()
+        t0 = time.time()
+        n_it = 0
+        for i, batch in enumerate(batches):
+            if 0 < max_iterations <= i:
+                break
+            arrays = shard_batch(self.mesh, batch_to_arrays(batch))
+            rng, sub = jax.random.split(rng)
+            self.state, metrics = self._step_fn(self.state, arrays, sub)
+            n_it += 1
+            if i % print_freq == 0:
+                host = {k: float(v) for k, v in metrics.items()
+                        if k in ("loss", "loss_CTC", "loss_ce", "loss_bbox", "loss_giou", "skipped")}
+                mlog.update(**host)
+                self.logger.info(
+                    f"epoch {self.epoch} it {i}: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in host.items())
+                )
+        dt = time.time() - t0
+        stats = {k: m.global_avg for k, m in mlog.meters.items()}
+        stats["epoch_time"] = dt
+        stats["iterations"] = n_it
+        stats["it_per_sec"] = n_it / max(dt, 1e-9)
+        append_log_line(self.output_dir, {"epoch": self.epoch, **stats})
+        self.epoch += 1
+        return stats
+
+    def evaluate_ctc(self, batches: Iterable[Batch], charset: List[str],
+                     max_batches: int = -1) -> Dict[str, float]:
+        """Greedy-decode CER/WER over a validation set (reference
+        engine.py:342-426 evaluate_CTC)."""
+        preds, gts = [], []
+        losses = []
+        params = self.state.params
+        for i, batch in enumerate(batches):
+            if 0 < max_batches <= i:
+                break
+            arrays = shard_batch(self.mesh, batch_to_arrays(batch))
+            out = self._eval_fn(params, arrays)
+            losses.append(float(out["loss_CTC"]))
+            frames = greedy_decode(out["pred_logits"], out["pred_boxes"])
+            for labs, text in zip(greedy_labels(frames), batch.texts):
+                preds.append(labels_to_text(labs, charset))
+                gts.append(text)
+        stats = {
+            "cer": corpus_cer(preds, gts),
+            "wer": corpus_wer(preds, gts),
+            "loss_CTC": float(np.mean(losses)) if losses else float("nan"),
+            "n": len(preds),
+        }
+        self.logger.info(f"eval: {stats}")
+        return stats
+
+    # ------------------------------------------------------------ ckpt
+    def checkpoint_state(self) -> Dict:
+        return {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "ema_params": self.state.ema_params,
+            "epoch": self.epoch,
+        }
+
+    def save(self, name: str = "checkpoint"):
+        path = os.path.join(self.output_dir, name)
+        ckpt_lib.save_checkpoint(path, int(self.state.step), self.checkpoint_state())
+        self.logger.info(f"saved checkpoint @{int(self.state.step)} -> {path}")
+
+    def try_resume(self, name: str = "checkpoint") -> bool:
+        path = os.path.join(self.output_dir, name)
+        restored = ckpt_lib.restore_checkpoint(path, self.checkpoint_state())
+        if restored is None:
+            return False
+        self.state = TrainState(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"]),
+            ema_params=restored["ema_params"],
+        )
+        self.epoch = int(restored["epoch"])
+        self.logger.info(f"auto-resumed from {path} at epoch {self.epoch}")
+        return True

@@ -1,0 +1,141 @@
+"""Two-stage CTC finetuning entry point (reference finetuning.py).
+
+Stage 1 (fresh run): load the pretrain checkpoint, optionally rebuild
+the class heads for the target charset with smart mapping (reference
+finetuning.py:422-539), train ONLY the class heads (:537-539).
+Stage 2 (--resume_finetuning): resume the finetuned checkpoint and
+train the full model (:263-379).
+
+Usage:
+    python -m dtlr_tpu.train.finetune -c dtlr_tpu/configs/Latin_CTC.py \
+        --dataset_file IAM --pretrain_dir outputs/pretrain \
+        --output_dir outputs/iam --new_class_embedding --smart_mapping \
+        [--resume_finetuning]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ..config import load_config, parse_options
+from ..config.loader import apply_options, dump_config
+from ..data.batching import BucketBatcher
+from ..data.charset import load_default_charset
+from ..data.loaders import build_dataset
+from . import checkpoints as ckpt_lib
+from .engine import Trainer, batch_to_arrays
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("DTLR-TPU CTC finetuning")
+    p.add_argument("-c", "--config_file", required=True)
+    p.add_argument("--dataset_file", required=True)
+    p.add_argument("--output_dir", default="outputs/finetune")
+    p.add_argument("--pretrain_dir", default=None,
+                   help="output_dir of the pretraining run to start from")
+    p.add_argument("--options", nargs="*", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--data_root", default="./data")
+    p.add_argument("--new_class_embedding", action="store_true")
+    p.add_argument("--smart_mapping", action="store_true")
+    p.add_argument("--path_old_charset", default=None)
+    p.add_argument("--resume_finetuning", action="store_true")
+    return p.parse_args(argv)
+
+
+def dataset_iter(ds):
+    """Cycle a map-style dataset forever with shuffling."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    order = np.arange(len(ds))
+    while True:
+        rng.shuffle(order)
+        for i in order:
+            yield ds[int(i)]
+
+
+def eval_iter(ds):
+    for i in range(len(ds)):
+        yield ds[i]
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = apply_options(load_config(args.config_file), parse_options(args.options))
+    if args.epochs is not None:
+        cfg.epochs = args.epochs
+    os.makedirs(args.output_dir, exist_ok=True)
+    dump_config(cfg, os.path.join(args.output_dir, "config_cfg.py"))
+
+    train_ds = build_dataset(args.dataset_file, "train", root=args.data_root)
+    val_ds = build_dataset(args.dataset_file, "val", root=args.data_root)
+    charset = train_ds.charset
+    cfg.num_classes = len(charset)
+    cfg.dn_labelbook_size = len(charset) + 1
+
+    token_based = getattr(train_ds, "token_based", False)
+    space_label = charset.index(" ") if " " in charset else -1
+    make_batcher = lambda src, train, seed: BucketBatcher(
+        src, batch_size=cfg.batch_size, scales=cfg.data_aug_scales,
+        max_size=cfg.data_aug_max_size,
+        max_targets=cfg.get_default("max_targets", 256),
+        train=train, space_label=space_label, seed=seed,
+    )
+    train_batches = make_batcher(dataset_iter(train_ds), True, args.seed)
+
+    trainer = Trainer(cfg, mode="ctc", output_dir=args.output_dir,
+                      charset=charset, seed=args.seed)
+    first = next(iter(train_batches))
+    params = trainer.init_params(batch_to_arrays(first))
+
+    stage1 = not args.resume_finetuning
+    if stage1 and args.pretrain_dir:
+        # load pretrain params (strict=False analog: restore what matches)
+        pre = ckpt_lib.restore_checkpoint(
+            os.path.join(args.pretrain_dir, "checkpoint"),
+            {"params": params, "opt_state": None, "step": 0, "ema_params": None,
+             "epoch": 0},
+        )
+        if pre is not None:
+            params = pre["params"]
+            trainer.logger.info(f"loaded pretrain params from {args.pretrain_dir}")
+        if args.new_class_embedding:
+            old_charset = (
+                load_default_charset() if args.path_old_charset is None
+                else __import__("dtlr_tpu.data.charset", fromlist=["load_charset_file"]).load_charset_file(args.path_old_charset)
+            )
+            params = ckpt_lib.surgery_class_heads(
+                params, old_charset, charset, jax.random.PRNGKey(args.seed),
+                smart_mapping=args.smart_mapping,
+            )
+            trainer.logger.info(
+                f"class-head surgery: {len(old_charset)} -> {len(charset)} classes"
+                f" (smart_mapping={args.smart_mapping})"
+            )
+
+    trainer.build(params, head_only=stage1)
+    if args.resume_finetuning:
+        trainer.try_resume()
+
+    max_it = cfg.get_default("max_iterations", 2500)
+    eval_epoch = cfg.get_default("eval_epoch", 10)
+    best_cer = float("inf")
+    for epoch in range(trainer.epoch, cfg.epochs):
+        stats = trainer.train_epoch(iter(train_batches), max_iterations=max_it)
+        trainer.logger.info(f"epoch {epoch}: {stats}")
+        trainer.save()
+        if (epoch + 1) % eval_epoch == 0:
+            val_batches = make_batcher(eval_iter(val_ds), False, 7)
+            est = trainer.evaluate_ctc(iter(val_batches), charset)
+            if est["cer"] < best_cer:
+                best_cer = est["cer"]
+                trainer.save("checkpoint_best_regular")
+
+
+if __name__ == "__main__":
+    main()

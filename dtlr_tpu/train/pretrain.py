@@ -1,0 +1,112 @@
+"""Synthetic pretraining entry point (reference main_synthetic.py).
+
+Usage:
+    python -m dtlr_tpu.train.pretrain -c dtlr_tpu/configs/Latin.py \
+        --dataset_file synthetic_line_OCR_general --output_dir outputs/pretrain \
+        [--options k=v ...] [--epochs N] [--steps_per_epoch N]
+
+Differences from the reference driver, by design:
+- synthetic data streams from an in-memory generator thread instead of
+  a per-epoch 5000-file disk regeneration (main_synthetic.py:383)
+- DDP init is replaced by a jax Mesh; run the same command on every
+  host for multi-host (jax.distributed.initialize is called when
+  JAX_COORDINATOR_ADDRESS is set)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..config import load_config, parse_options
+from ..config.loader import apply_options, dump_config
+from ..data.batching import BucketBatcher
+from ..data.loaders import build_dataset
+from .engine import Trainer, batch_to_arrays
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("DTLR-TPU synthetic pretraining")
+    p.add_argument("-c", "--config_file", required=True)
+    p.add_argument("--dataset_file", default="synthetic_line_OCR_general")
+    p.add_argument("--output_dir", default="outputs/pretrain")
+    p.add_argument("--options", nargs="*", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps_per_epoch", type=int, default=1250)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--data_root", default="./data")
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--eval_every", type=int, default=5)
+    return p.parse_args(argv)
+
+
+def maybe_init_distributed():
+    import jax
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = apply_options(load_config(args.config_file), parse_options(args.options))
+    if args.epochs is not None:
+        cfg.epochs = args.epochs
+    cfg.steps_per_epoch = args.steps_per_epoch
+    maybe_init_distributed()
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    dump_config(cfg, os.path.join(args.output_dir, "config_cfg.py"))
+
+    if args.dataset_file == "synthetic_line_OCR_general":
+        train_src = build_dataset(args.dataset_file, "train", seed=args.seed)
+        val_src = build_dataset(args.dataset_file, "val", seed=args.seed + 1)
+        charset = train_src.charset
+        train_iter, val_iter = iter(train_src), iter(val_src)
+    elif args.dataset_file == "HWDB_synth":
+        train_src = build_dataset(args.dataset_file, "train", root=args.data_root, seed=args.seed)
+        val_src = build_dataset(args.dataset_file, "val", root=args.data_root, seed=args.seed + 1)
+        charset = train_src.charset
+        train_iter, val_iter = iter(train_src), iter(val_src)
+    else:
+        raise ValueError("pretraining expects a synthetic dataset")
+
+    space_label = charset.index(" ") if " " in charset else -1
+    make_batcher = lambda src, train, seed: BucketBatcher(
+        src,
+        batch_size=cfg.batch_size,
+        scales=cfg.data_aug_scales,
+        max_size=cfg.data_aug_max_size,
+        max_targets=cfg.get_default("max_targets", 256),
+        train=train,
+        truly_random_erasing=cfg.get_default("truly_random_erasing", False),
+        instance_erasing=cfg.get_default("truly_random_erasing", False),
+        space_label=space_label,
+        seed=seed,
+    )
+    train_batches = make_batcher(train_iter, True, args.seed)
+
+    trainer = Trainer(cfg, mode="detection", output_dir=args.output_dir,
+                      charset=charset, seed=args.seed)
+    first = next(iter(train_batches))
+    params = trainer.init_params(batch_to_arrays(first))
+    trainer.build(params)
+    if args.resume:
+        trainer.try_resume()
+
+    save_int = cfg.get_default("save_checkpoint_interval", 100)
+    for epoch in range(trainer.epoch, cfg.epochs):
+        stats = trainer.train_epoch(
+            iter(train_batches), max_iterations=args.steps_per_epoch,
+        )
+        trainer.logger.info(f"epoch {epoch}: {stats}")
+        trainer.save()
+        if (epoch + 1) % save_int == 0:
+            trainer.save(f"checkpoint{epoch:04d}")
+        if (epoch + 1) % args.eval_every == 0:
+            val_batches = make_batcher(val_iter, False, args.seed + 7)
+            trainer.evaluate_ctc(iter(val_batches), charset, max_batches=25)
+
+
+if __name__ == "__main__":
+    main()

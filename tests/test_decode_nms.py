@@ -1,0 +1,96 @@
+import numpy as np
+import jax.numpy as jnp
+
+from dtlr_tpu.eval.decode import greedy_decode, greedy_labels, labels_to_text, nms_decode
+from dtlr_tpu.ops.nms import nms_mask
+from dtlr_tpu.ngram.lm_decode import CharNgramLM, ctc_beam_search
+
+
+def test_nms_mask_suppresses_overlaps():
+    boxes = jnp.asarray([
+        [0.0, 0.0, 1.0, 1.0],
+        [0.05, 0.0, 1.05, 1.0],   # heavy overlap with 0
+        [2.0, 2.0, 3.0, 3.0],     # disjoint
+    ])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    keep = np.asarray(nms_mask(boxes, scores, 0.5))
+    assert keep.tolist() == [True, False, True]
+
+
+def test_nms_mask_matches_greedy_reference():
+    rng = np.random.default_rng(0)
+    n = 40
+    cx, cy = rng.uniform(0, 10, (2, n))
+    w, h = rng.uniform(0.5, 2.5, (2, n))
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1).astype(np.float32)
+    scores = rng.random(n).astype(np.float32)
+
+    def ref_nms(boxes, scores, thr):
+        idx = np.argsort(-scores)
+        keep = []
+        for i in idx:
+            ok = True
+            for j in keep:
+                xx0 = max(boxes[i, 0], boxes[j, 0]); yy0 = max(boxes[i, 1], boxes[j, 1])
+                xx1 = min(boxes[i, 2], boxes[j, 2]); yy1 = min(boxes[i, 3], boxes[j, 3])
+                inter = max(0, xx1 - xx0) * max(0, yy1 - yy0)
+                a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+                b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+                if inter / (a + b - inter) > thr:
+                    ok = False
+                    break
+            if ok:
+                keep.append(i)
+        mask = np.zeros(n, bool)
+        mask[keep] = True
+        return mask
+
+    got = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.4))
+    want = ref_nms(boxes, scores, 0.4)
+    np.testing.assert_array_equal(got, want)
+
+
+def _confident_logits(seq, K, nq):
+    """queries firing on seq left-to-right, others silent."""
+    logits = np.full((1, nq, K), -10.0, np.float32)
+    boxes = np.zeros((1, nq, 4), np.float32)
+    boxes[0, :, 0] = np.linspace(0.05, 0.95, nq)
+    boxes[0, :, 2:] = 0.02
+    for i, lab in enumerate(seq):
+        logits[0, i, lab] = 10.0
+    return jnp.asarray(logits), jnp.asarray(boxes)
+
+
+def test_greedy_decode_reads_left_to_right():
+    K, nq = 6, 10
+    seq = [2, 0, 5, 1]
+    logits, boxes = _confident_logits(seq, K, nq)
+    frames = greedy_decode(logits, boxes)
+    labs = greedy_labels(frames)[0]
+    assert labs == seq
+    assert labels_to_text(labs, list("abcdef")) == "caf" + "b"
+
+
+def test_nms_decode_matches_sequence():
+    K, nq = 6, 10
+    seq = [3, 1, 4]
+    logits, boxes = _confident_logits(seq, K, nq)
+    labs = nms_decode(logits, boxes, score_threshold=0.5, nms_iou=0.5)[0]
+    assert labs == seq
+
+
+def test_ctc_beam_search_greedy_consistency():
+    charset = list("ab c")
+    T = 6
+    probs = np.full((T, len(charset) + 1), 0.01, np.float32)
+    for t, k in enumerate([1, 0, 2, 0, 1, 0]):  # a, -, b, -, a, -
+        probs[t, k] = 0.9
+    out = ctc_beam_search(probs, charset, lm=None, beam=8)
+    assert out == "aba"
+
+
+def test_ngram_lm_prefers_trained_sequences():
+    lm = CharNgramLM(order=3).fit(["the cat", "the dog", "the cow"] * 5)
+    better = lm.logp("th", "e")
+    worse = lm.logp("th", "q")
+    assert better > worse
