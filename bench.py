@@ -35,7 +35,10 @@ def main():
     B, H, W = 8, 128, 1344
     images = jax.random.normal(rng, (B, H, W, 3), jnp.float32)
     valid_hw = jnp.tile(jnp.asarray([[96, 1333]], jnp.int32), (B, 1))
-    params = model.init({"params": rng}, images[:1], valid_hw[:1], None, train=False)
+    # jit the init: unjitted flax init dispatches thousands of ops
+    # individually (very slow over a remote-device tunnel)
+    init = jax.jit(lambda r, im, vh: model.init({"params": r}, im, vh, None, train=False))
+    params = init(rng, images[:1], valid_hw[:1])
 
     @jax.jit
     def forward(params, images, valid_hw):

@@ -76,12 +76,20 @@ class Trainer:
             "boxes": jnp.asarray(sample_batch["boxes"]),
             "valid": jnp.asarray(sample_batch["valid"]),
         }
-        params = self.model.init(
-            {"params": rng, "dn": rng},
+        # jit the init: unjitted flax init dispatches each op separately,
+        # which is pathologically slow on remote/tunneled devices
+        mode_det = self.mode == "detection"
+        init = jax.jit(
+            lambda r, im, vh, tg: self.model.init(
+                {"params": r, "dn": r}, im, vh, tg if mode_det else None,
+                train=mode_det,
+            )
+        )
+        params = init(
+            rng,
             jnp.asarray(sample_batch["images"]),
             jnp.asarray(sample_batch["valid_hw"]),
-            targets if self.mode == "detection" else None,
-            train=self.mode == "detection",
+            targets,
         )
         n = sum(x.size for x in jax.tree.leaves(params))
         self.logger.info(f"model params: {n / 1e6:.2f}M")
