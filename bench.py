@@ -40,21 +40,26 @@ def main():
     init = jax.jit(lambda r, im, vh: model.init({"params": r}, im, vh, None, train=False))
     params = init(rng, images[:1], valid_hw[:1])
 
+    iters = 10
+
+    # device-side loop with per-iteration perturbed inputs: robust to
+    # host dispatch overhead and to runtimes that cache identical
+    # (executable, operands) executions
     @jax.jit
-    def forward(params, images, valid_hw):
-        out = model.apply(params, images, valid_hw, None, train=False)
-        return out["pred_logits"].sum() + out["pred_boxes"].sum()
+    def forward_loop(params, images, valid_hw):
+        def body(carry, i):
+            out = model.apply(
+                params, images + carry * 1e-6, valid_hw, None, train=False
+            )
+            s = out["pred_logits"].astype(jnp.float32).sum() + out["pred_boxes"].sum()
+            return carry + s * 1e-20 + 1.0, s
 
-    # warmup/compile
-    forward(params, images, valid_hw).block_until_ready()
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
+        return c
 
-    # timed: loop inside device via repeated dispatch; sync once at end
-    iters = 12
+    forward_loop(params, images, valid_hw).block_until_ready()  # compile
     t0 = time.perf_counter()
-    acc = []
-    for i in range(iters):
-        acc.append(forward(params, images, valid_hw))
-    jax.block_until_ready(acc)
+    float(forward_loop(params, images, valid_hw))
     dt = time.perf_counter() - t0
     lines_per_sec = B * iters / dt
 

@@ -81,11 +81,64 @@ def _sample_level(value_l, loc_l, h: int, w: int):
     return out
 
 
+def _sample_level_packed(value_l, loc_l, h: int, w: int):
+    """Bilinear-sample one level with ONE gather per sample.
+
+    TPU gathers are row-rate-bound (~0.4 rows/cycle regardless of small
+    row widths), so fetching the four bilinear corners as four separate
+    D-wide gathers wastes 4x the row budget. Here the level tensor is
+    pre-packed as Vquad[s] = [V[s], V[s+1], V[s+W], V[s+W+1]] (width 4D,
+    built with two cheap rolls + concats), and each sample gathers a
+    single 4D-wide row at y0*W+x0. Out-of-bounds corners have garbage
+    values but exactly-zero bilinear weights.
+
+    value_l: (B, M, HW, D); loc_l: (B, Lq, M, P, 2) -> (B, Lq, M, P, D)
+    """
+    B, Lq, M, P, _ = loc_l.shape
+    D = value_l.shape[-1]
+    S = value_l.shape[2]
+
+    right = jnp.roll(value_l, -1, axis=2)
+    down = jnp.roll(value_l, -w, axis=2)
+    downright = jnp.roll(value_l, -(w + 1), axis=2)
+    vquad = jnp.concatenate([value_l, right, down, downright], axis=-1)  # (B,M,HW,4D)
+
+    x = loc_l[..., 0] * w - 0.5
+    y = loc_l[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    vx0 = (x0i >= 0) & (x0i < w)
+    vx1 = (x0i + 1 >= 0) & (x0i + 1 < w)
+    vy0 = (y0i >= 0) & (y0i < h)
+    vy1 = (y0i + 1 >= 0) & (y0i + 1 < h)
+    f = lambda c: c.astype(value_l.dtype)
+    w00 = (1 - ly) * (1 - lx) * f(vy0 & vx0)
+    w01 = (1 - ly) * lx * f(vy0 & vx1)
+    w10 = ly * (1 - lx) * f(vy1 & vx0)
+    w11 = ly * lx * f(vy1 & vx1)
+
+    # wrap (mod) addressing: jnp.roll wraps, so for any valid corner the
+    # packed slots line up exactly with the true flat indices; invalid
+    # corners land on wrapped garbage that the zero weights cancel
+    idx = jnp.mod(y0i * w + x0i, S)
+    idx_t = idx.transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
+    g = jnp.take_along_axis(vquad, idx_t[..., None], axis=2)  # (B,M,LqP,4D)
+    g = g.reshape(B, M, Lq, P, 4, D).transpose(0, 2, 1, 3, 4, 5)
+    wgt = jnp.stack([w00, w01, w10, w11], axis=-1)  # (B,Lq,M,P,4)
+    return jnp.einsum("bqmpcd,bqmpc->bqmpd", g, wgt)
+
+
 def deform_attn_xla(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    packed: bool = True,
 ) -> jnp.ndarray:
     """Multi-scale deformable attention core (XLA gather formulation).
 
@@ -94,6 +147,8 @@ def deform_attn_xla(
       spatial_shapes: static list of (H, W) per level.
       sampling_locations: (B, Lq, M, L, P, 2) in [0, 1], (x, y) order.
       attention_weights: (B, Lq, M, L, P), softmax-normalized over L*P.
+      packed: use the quad-packed single-gather-per-sample formulation
+        (4x fewer gather rows; see _sample_level_packed).
 
     Returns:
       (B, Lq, M * D)
@@ -109,10 +164,11 @@ def deform_attn_xla(
     sampling_locations = sampling_locations.astype(compute_dtype)
     attention_weights = attention_weights.astype(compute_dtype)
 
+    sampler = _sample_level_packed if packed else _sample_level
     out = jnp.zeros((B, Lq, M, D), dtype=compute_dtype)
     for lvl, (h, w) in enumerate(spatial_shapes):
         value_l = jax.lax.dynamic_slice_in_dim(value, starts[lvl], sizes[lvl], axis=1)
         value_l = value_l.transpose(0, 2, 1, 3)  # (B, M, HW, D)
-        sampled = _sample_level(value_l, sampling_locations[:, :, :, lvl], h, w)
+        sampled = sampler(value_l, sampling_locations[:, :, :, lvl], h, w)
         out = out + jnp.einsum("bqmpd,bqmp->bqmd", sampled, attention_weights[:, :, :, lvl])
     return out.reshape(B, Lq, M * D)
