@@ -23,7 +23,16 @@ import numpy as np
 
 
 def levenshtein(a: Sequence, b: Sequence) -> int:
-    """Edit distance between two sequences (numpy DP rows)."""
+    """Edit distance between two sequences (native C++ when built,
+    numpy DP otherwise)."""
+    from ..runtime import native
+
+    if native.available():
+        return native.levenshtein(a, b)
+    return _levenshtein_py(a, b)
+
+
+def _levenshtein_py(a: Sequence, b: Sequence) -> int:
     if len(a) < len(b):
         a, b = b, a
     if len(b) == 0:

@@ -92,9 +92,9 @@ def _as_u32(seq: Sequence) -> np.ndarray:
 def levenshtein(a: Sequence, b: Sequence) -> int:
     lib = _load()
     if lib is None:
-        from ..eval.metrics import levenshtein as py_lev
+        from ..eval.metrics import _levenshtein_py
 
-        return py_lev(a, b)
+        return _levenshtein_py(a, b)
     aa, bb = _as_u32_pair(a, b)
     pa = aa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
     pb = bb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
