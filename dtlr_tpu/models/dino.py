@@ -111,9 +111,25 @@ class DINO(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        backbone, num_channels = build_resnet(
-            self.backbone, self.norm_kind, self.return_interm_indices, dtype=self.dtype
-        )
+        if self.backbone.startswith("resnet"):
+            backbone, num_channels = build_resnet(
+                self.backbone, self.norm_kind, self.return_interm_indices,
+                dtype=self.dtype,
+            )
+        elif self.backbone.startswith("swin"):
+            from .swin import build_swin
+
+            backbone, num_channels = build_swin(
+                self.backbone, self.return_interm_indices, dtype=self.dtype
+            )
+        elif self.backbone.startswith("convnext"):
+            from .convnext import build_convnext
+
+            backbone, num_channels = build_convnext(
+                self.backbone, self.return_interm_indices, dtype=self.dtype
+            )
+        else:
+            raise ValueError(f"unknown backbone {self.backbone!r}")
         self.backbone_net = backbone
         self.backbone_channels = num_channels
 
