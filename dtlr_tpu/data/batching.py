@@ -56,21 +56,33 @@ def prepare_sample(
     instance_erasing: bool = False,
     labels: Optional[np.ndarray] = None,
     space_label: int = 165,
+    strong_aug: bool = False,
 ):
     img, bx = T.resize_min_side(image, boxes, scale, max_size)
     if train:
-        if rng.random() < 0.5:
-            img = T.adjust_brightness_contrast(rng, img)
-        if rng.random() < 0.1:
-            img = T.lighting_noise(rng, img)
-        if rng.random() < 0.3:
-            img = T.gaussian_blur(rng, img, sigma=(0.1, 1.0))
+        if strong_aug:
+            # photometric augs only under strong_aug (reference
+            # IAM.py:166-190 SLT.RandomSelectMulti)
+            pick = rng.integers(0, 3)
+            if pick == 0:
+                img = T.lighting_noise(rng, img)
+            elif pick == 1:
+                img = T.adjust_brightness_contrast(rng, img, contrast=(1.0, 1.0))
+            else:
+                img = T.adjust_brightness_contrast(rng, img, brightness=(1.0, 1.0))
         if truly_random_erasing:
-            img = T.random_erasing_full_vertical(rng, img)
+            # 5x full-vertical column erases (reference IAM.py:146-149:
+            # RandomErasingFullVertical(p=0.5, scale=(0.01,0.04), ratio=(3,6)) x5)
+            for _ in range(5):
+                img = T.random_erasing_full_vertical(
+                    rng, img, p=0.5, n_range=(1, 3), width_frac=(0.005, 0.03)
+                )
         if instance_erasing and bx is not None and labels is not None:
             img = T.instance_aware_erasing(rng, img, bx, labels, space_label)
-        for _ in range(3):
-            img = T.random_erasing(rng, img, p=0.2)
+        # 4x RandomErasing(p=0.5, scale=(0.005,0.05), ratio=(5,6))
+        # (reference IAM.py:205-210)
+        for _ in range(4):
+            img = T.random_erasing(rng, img, p=0.5, scale=(0.005, 0.05), ratio=(5.0, 6.0))
     img, bx = T.normalize(img, bx)
     return img, bx
 
@@ -134,6 +146,7 @@ class BucketBatcher:
         truly_random_erasing: bool = False,
         instance_erasing: bool = False,
         space_label: int = 165,
+        strong_aug: bool = False,
         seed: int = 0,
         prefetch: int = 4,
     ):
@@ -146,6 +159,7 @@ class BucketBatcher:
         self.h_quant = h_quant
         self.train = train
         self.truly_random_erasing = truly_random_erasing
+        self.strong_aug = strong_aug
         self.instance_erasing = instance_erasing
         self.space_label = space_label
         self.rng = np.random.default_rng(seed)
@@ -170,6 +184,7 @@ class BucketBatcher:
                 self.instance_erasing,
                 labels=np.asarray(raw.get("labels", []), np.int32),
                 space_label=self.space_label,
+                strong_aug=self.strong_aug,
             )
             prepared.append({
                 "image": img,
