@@ -57,7 +57,11 @@ def main():
         c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
         return c
 
-    forward_loop(params, images, valid_hw).block_until_ready()  # compile
+    # two full warmups with a host transfer: on the tunneled backend
+    # block_until_ready is unreliable and the first executions can hit
+    # compile/cache effects
+    float(forward_loop(params, images, valid_hw))
+    float(forward_loop(params, images, valid_hw))
     t0 = time.perf_counter()
     float(forward_loop(params, images, valid_hw))
     dt = time.perf_counter() - t0

@@ -108,6 +108,7 @@ class DINO(nn.Module):
     dn_labelbook_size: int = 167
     # static target capacity
     max_targets: int = 256
+    shared_offsets: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -167,6 +168,7 @@ class DINO(nn.Module):
             dec_n_points=self.dec_n_points,
             num_queries=self.num_queries,
             module_seq=self.module_seq,
+            shared_offsets=self.shared_offsets,
             dtype=self.dtype,
             name="transformer",
         )
@@ -333,5 +335,6 @@ def build_dino_from_config(cfg) -> DINO:
         dn_label_noise_ratio=cfg.get_default("dn_label_noise_ratio", 0.5),
         dn_labelbook_size=cfg.get_default("dn_labelbook_size", cfg.num_classes + 1),
         max_targets=cfg.get_default("max_targets", 256),
+        shared_offsets=cfg.get_default("deform_shared_offsets", False),
         dtype=dtype,
     )

@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.deform_attn import deform_attn_xla
+from ..ops.deform_attn import deform_attn_xla, deform_attn_xla_shared
 
 
 class MLP(nn.Module):
@@ -70,6 +70,7 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    shared_offsets: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -85,20 +86,20 @@ class MSDeformAttn(nn.Module):
         S = input_flatten.shape[1]
         M, L, P = self.n_heads, self.n_levels, self.n_points
         D = self.d_model // M
+        MM = 1 if self.shared_offsets else M  # offset groups
 
         value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(input_flatten)
         if input_padding_mask is not None:
             value = jnp.where(input_padding_mask[..., None], 0.0, value)
-        value = value.reshape(B, S, M, D)
 
         offsets = nn.Dense(
-            M * L * P * 2,
+            MM * L * P * 2,
             kernel_init=nn.initializers.zeros,
-            bias_init=_sampling_offset_bias_init(M, L, P),
+            bias_init=_sampling_offset_bias_init(MM, L, P),
             dtype=jnp.float32,
             name="sampling_offsets",
         )(query.astype(jnp.float32))
-        offsets = offsets.reshape(B, Lq, M, L, P, 2)
+        offsets = offsets.reshape(B, Lq, MM, L, P, 2)
 
         attn = nn.Dense(
             M * L * P,
@@ -126,7 +127,12 @@ class MSDeformAttn(nn.Module):
         else:
             raise ValueError(f"reference_points last dim must be 2 or 4, got {ref.shape[-1]}")
 
-        out = deform_attn_xla(value, spatial_shapes, loc, attn)
+        if self.shared_offsets:
+            out = deform_attn_xla_shared(
+                value, spatial_shapes, loc[:, :, 0], attn, n_heads=M
+            )
+        else:
+            out = deform_attn_xla(value.reshape(B, S, M, D), spatial_shapes, loc, attn)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out.astype(self.dtype))
         return out
 

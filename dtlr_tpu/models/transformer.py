@@ -105,6 +105,7 @@ class EncoderLayer(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     dropout: float = 0.0
+    shared_offsets: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -113,7 +114,7 @@ class EncoderLayer(nn.Module):
         q = src + pos
         src2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, name="self_attn",
+            shared_offsets=self.shared_offsets, dtype=self.dtype, name="self_attn",
         )(q, reference_points, src, spatial_shapes, key_padding_mask)
         src = src + nn.Dropout(self.dropout, deterministic=deterministic)(src2)
         src = nn.LayerNorm(dtype=jnp.float32, name="norm1")(src)
@@ -135,6 +136,7 @@ class DecoderLayer(nn.Module):
     n_points: int = 4
     dropout: float = 0.0
     module_seq: Tuple[str, ...] = ("sa", "ca", "ffn")
+    shared_offsets: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -159,6 +161,7 @@ class DecoderLayer(nn.Module):
 
         def ca(t):
             t2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
+                              shared_offsets=self.shared_offsets,
                               dtype=self.dtype, name="cross_attn")(
                 t + query_pos, reference_points_input, memory, spatial_shapes,
                 memory_key_padding_mask)
@@ -196,6 +199,7 @@ class DeformableTransformer(nn.Module):
     num_queries: int = 900
     query_dim: int = 4
     module_seq: Tuple[str, ...] = ("sa", "ca", "ffn")
+    shared_offsets: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -204,13 +208,15 @@ class DeformableTransformer(nn.Module):
         )
         self.encoder_layers = [
             EncoderLayer(self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
-                         self.enc_n_points, self.dropout, dtype=self.dtype,
+                         self.enc_n_points, self.dropout,
+                         shared_offsets=self.shared_offsets, dtype=self.dtype,
                          name=f"encoder_layer_{i}")
             for i in range(self.num_encoder_layers)
         ]
         self.decoder_layers = [
             DecoderLayer(self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
-                         self.dec_n_points, self.dropout, self.module_seq, dtype=self.dtype,
+                         self.dec_n_points, self.dropout, self.module_seq,
+                         shared_offsets=self.shared_offsets, dtype=self.dtype,
                          name=f"decoder_layer_{i}")
             for i in range(self.num_decoder_layers)
         ]

@@ -172,3 +172,74 @@ def deform_attn_xla(
         sampled = sampler(value_l, sampling_locations[:, :, :, lvl], h, w)
         out = out + jnp.einsum("bqmpd,bqmp->bqmd", sampled, attention_weights[:, :, :, lvl])
     return out.reshape(B, Lq, M * D)
+
+
+def deform_attn_xla_shared(
+    value: jnp.ndarray,                 # (B, S, C) heads NOT split
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,    # (B, Lq, L, P, 2) shared across heads
+    attention_weights: jnp.ndarray,     # (B, Lq, M, L, P) per-head
+    n_heads: int,
+) -> jnp.ndarray:
+    """Head-shared sampling variant (TPU throughput lever).
+
+    TPU gathers are row-rate-bound; per-head sampling locations
+    (reference semantics) force M separate D-wide gathers per point.
+    Sharing the locations across heads fetches one full C-wide row per
+    point instead — 8x fewer gather rows for the standard config. The
+    attention weights stay per-head, so heads still mix the sampled
+    points differently. Enable with config ``deform_shared_offsets``;
+    this deliberately deviates from the reference (train-from-scratch
+    option, off by default).
+
+    Returns (B, Lq, C).
+    """
+    B, S, C = value.shape
+    _, Lq, L, P, _ = sampling_locations.shape
+    M = n_heads
+    D = C // M
+    sizes, starts = level_splits(spatial_shapes)
+    assert sum(sizes) == S
+
+    value = value.astype(jnp.float32)
+    loc = sampling_locations.astype(jnp.float32)
+    attn = attention_weights.astype(jnp.float32)
+
+    out = jnp.zeros((B, Lq, M, D), jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, starts[lvl], sizes[lvl], axis=1)
+        Sl = sizes[lvl]
+        right = jnp.roll(v, -1, axis=1)
+        down = jnp.roll(v, -w, axis=1)
+        downright = jnp.roll(v, -(w + 1), axis=1)
+        vquad = jnp.concatenate([v, right, down, downright], axis=-1)  # (B, Sl, 4C)
+
+        l = loc[:, :, lvl]  # (B, Lq, P, 2)
+        x = l[..., 0] * w - 0.5
+        y = l[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx, ly = x - x0, y - y0
+        x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+        vx0 = (x0i >= 0) & (x0i < w)
+        vx1 = (x0i + 1 >= 0) & (x0i + 1 < w)
+        vy0 = (y0i >= 0) & (y0i < h)
+        vy1 = (y0i + 1 >= 0) & (y0i + 1 < h)
+        f = lambda c: c.astype(jnp.float32)
+        wgt = jnp.stack(
+            [
+                (1 - ly) * (1 - lx) * f(vy0 & vx0),
+                (1 - ly) * lx * f(vy0 & vx1),
+                ly * (1 - lx) * f(vy1 & vx0),
+                ly * lx * f(vy1 & vx1),
+            ],
+            axis=-1,
+        )  # (B, Lq, P, 4)
+
+        idx = jnp.mod(y0i * w + x0i, Sl).reshape(B, Lq * P)
+        g = jnp.take_along_axis(vquad, idx[..., None], axis=1)  # (B, LqP, 4C)
+        g = g.reshape(B, Lq, P, 4, M, D)
+        # combine bilinear corners, then per-head attention over points
+        sampled = jnp.einsum("bqpcmd,bqpc->bqpmd", g, wgt)
+        out = out + jnp.einsum("bqpmd,bqmp->bqmd", sampled, attn[:, :, :, lvl])
+    return out.reshape(B, Lq, C)

@@ -67,6 +67,31 @@ class Trainer:
         self._step_fn = None
         self._eval_fn = None
         self.epoch = 0
+        self._wandb = self._init_wandb()
+
+    def _init_wandb(self):
+        """Optional wandb logging in disabled mode, mirroring the
+        reference's default (reference main_synthetic.py:157-158,
+        WANDB_SILENT + mode='disabled')."""
+        try:
+            import wandb  # type: ignore
+
+            os.environ.setdefault("WANDB_SILENT", "true")
+            run = wandb.init(
+                project=self.cfg.get_default("wandb_project", "dtlr-tpu"),
+                mode=os.environ.get("WANDB_MODE", "disabled"),
+                dir=self.output_dir,
+            )
+            return run
+        except Exception:
+            return None
+
+    def _wandb_log(self, record: Dict[str, float]):
+        if self._wandb is not None:
+            try:
+                self._wandb.log(record)
+            except Exception:
+                pass
 
     # ------------------------------------------------------------ build
     def init_params(self, sample_batch: Dict[str, np.ndarray], rng=None):
@@ -156,16 +181,22 @@ class Trainer:
         stats["iterations"] = n_it
         stats["it_per_sec"] = n_it / max(dt, 1e-9)
         append_log_line(self.output_dir, {"epoch": self.epoch, **stats})
+        self._wandb_log({"epoch": self.epoch, **stats})
         self.epoch += 1
         return stats
 
     def evaluate_ctc(self, batches: Iterable[Batch], charset: List[str],
-                     max_batches: int = -1) -> Dict[str, float]:
+                     max_batches: int = -1, use_ema: bool = False) -> Dict[str, float]:
         """Greedy-decode CER/WER over a validation set (reference
-        engine.py:342-426 evaluate_CTC)."""
+        engine.py:342-426 evaluate_CTC; use_ema evaluates the EMA weights
+        like main_synthetic.py:447-463)."""
         preds, gts = [], []
         losses = []
-        params = self.state.params
+        params = (
+            self.state.ema_params
+            if use_ema and self.state.ema_params is not None
+            else self.state.params
+        )
         for i, batch in enumerate(batches):
             if 0 < max_batches <= i:
                 break
