@@ -201,7 +201,12 @@ def deform_attn_xla_shared(
     sizes, starts = level_splits(spatial_shapes)
     assert sum(sizes) == S
 
-    value = value.astype(jnp.float32)
+    # keep the value rows in their storage dtype (bf16 under the mixed
+    # policy) through packing + gather — the gather is bandwidth-bound —
+    # and do the bilinear/attention arithmetic in fp32 after the fetch
+    # (matches the reference's fp32 sampling carve-out,
+    # ops/modules/ms_deform_attn.py:114-120: values are already rounded
+    # to the storage dtype; the accumulation stays fp32)
     loc = sampling_locations.astype(jnp.float32)
     attn = attention_weights.astype(jnp.float32)
 
@@ -238,8 +243,9 @@ def deform_attn_xla_shared(
 
         idx = jnp.mod(y0i * w + x0i, Sl).reshape(B, Lq * P)
         g = jnp.take_along_axis(vquad, idx[..., None], axis=1)  # (B, LqP, 4C)
-        g = g.reshape(B, Lq, P, 4, M, D)
-        # combine bilinear corners, then per-head attention over points
-        sampled = jnp.einsum("bqpcmd,bqpc->bqpmd", g, wgt)
-        out = out + jnp.einsum("bqpmd,bqmp->bqmd", sampled, attn[:, :, :, lvl])
+        g = g.reshape(B, Lq, P, 4, M, D).astype(jnp.float32)
+        # fold bilinear corner weights and per-head attention into one
+        # small weight tensor so the big gathered tensor is read once
+        w4 = wgt[:, :, None, :, :] * attn[:, :, :, lvl][..., None]  # (B,Lq,M,P,4)
+        out = out + jnp.einsum("bqpcmd,bqmpc->bqmd", g, w4)
     return out.reshape(B, Lq, C)
