@@ -6,3 +6,9 @@
 _base_ = ["Latin.py"]
 
 deform_shared_offsets = True
+
+# dense windowed encoder (zero-gather, MXU-native) — see
+# models/windowed_encoder.py. Comment out to keep the deformable
+# encoder with shared sampling.
+encoder_type = "windowed"
+encoder_win = 32

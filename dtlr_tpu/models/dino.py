@@ -109,6 +109,8 @@ class DINO(nn.Module):
     # static target capacity
     max_targets: int = 256
     shared_offsets: bool = False
+    encoder_type: str = "deformable"
+    encoder_win: int = 32
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -169,6 +171,8 @@ class DINO(nn.Module):
             num_queries=self.num_queries,
             module_seq=self.module_seq,
             shared_offsets=self.shared_offsets,
+            encoder_type=self.encoder_type,
+            encoder_win=self.encoder_win,
             dtype=self.dtype,
             name="transformer",
         )
@@ -336,5 +340,7 @@ def build_dino_from_config(cfg) -> DINO:
         dn_labelbook_size=cfg.get_default("dn_labelbook_size", cfg.num_classes + 1),
         max_targets=cfg.get_default("max_targets", 256),
         shared_offsets=cfg.get_default("deform_shared_offsets", False),
+        encoder_type=cfg.get_default("encoder_type", "deformable"),
+        encoder_win=cfg.get_default("encoder_win", 32),
         dtype=dtype,
     )

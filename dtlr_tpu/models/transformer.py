@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..utils.boxes import inverse_sigmoid
 from .layers import MLP, MSDeformAttn, MultiHeadAttention
+from .windowed_encoder import WindowedEncoderLayer
 from .position_encoding import gen_sineembed_for_position
 
 
@@ -200,19 +201,30 @@ class DeformableTransformer(nn.Module):
     query_dim: int = 4
     module_seq: Tuple[str, ...] = ("sa", "ca", "ffn")
     shared_offsets: bool = False
+    encoder_type: str = "deformable"  # or "windowed" (TPU-native dense)
+    encoder_win: int = 32
     dtype: Any = jnp.float32
 
     def setup(self):
         self.level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (self.num_feature_levels, self.d_model)
         )
-        self.encoder_layers = [
-            EncoderLayer(self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
-                         self.enc_n_points, self.dropout,
-                         shared_offsets=self.shared_offsets, dtype=self.dtype,
-                         name=f"encoder_layer_{i}")
-            for i in range(self.num_encoder_layers)
-        ]
+        if self.encoder_type == "windowed":
+            self.encoder_layers = [
+                WindowedEncoderLayer(self.d_model, self.d_ffn, self.n_heads,
+                                     self.num_feature_levels, win=self.encoder_win,
+                                     shift=bool(i % 2), dropout=self.dropout,
+                                     dtype=self.dtype, name=f"encoder_layer_{i}")
+                for i in range(self.num_encoder_layers)
+            ]
+        else:
+            self.encoder_layers = [
+                EncoderLayer(self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
+                             self.enc_n_points, self.dropout,
+                             shared_offsets=self.shared_offsets, dtype=self.dtype,
+                             name=f"encoder_layer_{i}")
+                for i in range(self.num_encoder_layers)
+            ]
         self.decoder_layers = [
             DecoderLayer(self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
                          self.dec_n_points, self.dropout, self.module_seq,
@@ -263,10 +275,15 @@ class DeformableTransformer(nn.Module):
 
         # ------------------------------------------------ encoder
         output = src_flat.astype(self.dtype)
-        enc_ref = get_encoder_reference_points(spatial_shapes, valid_ratios)
-        for layer in self.encoder_layers:
-            output = layer(output, pos_flat, enc_ref, spatial_shapes, mask_flat,
-                           deterministic=deterministic)
+        if self.encoder_type == "windowed":
+            for layer in self.encoder_layers:
+                output = layer(output, pos_flat, spatial_shapes, mask_flat,
+                               deterministic=deterministic)
+        else:
+            enc_ref = get_encoder_reference_points(spatial_shapes, valid_ratios)
+            for layer in self.encoder_layers:
+                output = layer(output, pos_flat, enc_ref, spatial_shapes, mask_flat,
+                               deterministic=deterministic)
         memory = output
 
         # ------------------------------------------------ two-stage selection
