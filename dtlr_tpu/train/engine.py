@@ -154,7 +154,11 @@ class Trainer:
         max_iterations: int = -1,
         print_freq: int = 50,
         rng=None,
+        train_cer_every: int = 0,
     ) -> Dict[str, float]:
+        """train_cer_every > 0 computes greedy train CER/WER on the
+        current batch every N iterations (reference engine.py:217-225
+        does this every 100 its during CTC finetuning)."""
         assert self.state is not None, "call build() first"
         rng = rng if rng is not None else jax.random.PRNGKey(self.seed + self.epoch)
         mlog = MetricLogger()
@@ -167,6 +171,15 @@ class Trainer:
             rng, sub = jax.random.split(rng)
             self.state, metrics = self._step_fn(self.state, arrays, sub)
             n_it += 1
+            if train_cer_every > 0 and i % train_cer_every == 0 and self.charset:
+                out = self._eval_fn(self.state.params, arrays)
+                frames = greedy_decode(out["pred_logits"], out["pred_boxes"])
+                preds = [labels_to_text(l, self.charset)
+                         for l in greedy_labels(frames)]
+                mlog.update(
+                    cer=corpus_cer(preds, batch.texts),
+                    wer=corpus_wer(preds, batch.texts),
+                )
             if i % print_freq == 0:
                 host = {k: float(v) for k, v in metrics.items()
                         if k in ("loss", "loss_CTC", "loss_ce", "loss_bbox", "loss_giou", "skipped")}
@@ -233,7 +246,32 @@ class Trainer:
 
     def try_resume(self, name: str = "checkpoint") -> bool:
         path = os.path.join(self.output_dir, name)
-        restored = ckpt_lib.restore_checkpoint(path, self.checkpoint_state())
+        try:
+            restored = ckpt_lib.restore_checkpoint(path, self.checkpoint_state())
+        except Exception as exc:
+            # opt_state structure mismatch happens legitimately when
+            # switching finetuning stages (head-only -> full optimizer,
+            # reference finetuning.py:537-539 vs stage 2): keep the
+            # fresh optimizer and restore params/epoch only
+            restored = ckpt_lib.restore_checkpoint(
+                path,
+                {"params": self.state.params, "opt_state": None,
+                 "step": self.state.step, "ema_params": None, "epoch": 0},
+            )
+            if restored is None:
+                return False
+            self.state = TrainState(
+                params=restored["params"],
+                opt_state=self.state.opt_state,
+                step=jnp.asarray(restored["step"]),
+                ema_params=self.state.ema_params,
+            )
+            self.epoch = int(restored["epoch"])
+            self.logger.info(
+                f"resumed params-only from {path} at epoch {self.epoch} "
+                f"(optimizer state structure changed: {type(exc).__name__})"
+            )
+            return True
         if restored is None:
             return False
         self.state = TrainState(

@@ -126,7 +126,7 @@ def main(argv=None):
     eval_epoch = cfg.get_default("eval_epoch", 10)
     best_cer = float("inf")
     for epoch in range(trainer.epoch, cfg.epochs):
-        stats = trainer.train_epoch(iter(train_batches), max_iterations=max_it)
+        stats = trainer.train_epoch(iter(train_batches), max_iterations=max_it, train_cer_every=100)
         trainer.logger.info(f"epoch {epoch}: {stats}")
         trainer.save()
         if (epoch + 1) % eval_epoch == 0:
