@@ -1,0 +1,142 @@
+"""N-gram rescoring entry point (reference ngram/clean_gen_ngram_preds.py).
+
+Usage:
+    python -m dtlr_tpu.ngram.rescore --config_path dtlr_tpu/ngram/IAM.yaml
+
+The YAML mirrors the reference's per-dataset configs (ngram/IAM.yaml):
+    dataset: IAM
+    mode: test
+    model_config: dtlr_tpu/configs/Latin_CTC.py
+    ckpt_dir: outputs/iam
+    lm_arpa: path/to/char6gram.arpa     # optional; else lm_corpus
+    lm_corpus: path/to/training_text    # optional: train a python LM
+    lm_order: 6
+    lm_weight: 0.25
+    logits_multiplier: 2.0              # prediction_helpers.py:17-19
+    beam: 16
+    skip_gated_words: true              # uppercase/digit/dash gating
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def load_yaml(path: str) -> dict:
+    """Tiny YAML subset loader (flat key: value) to avoid a yaml dep."""
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            k, _, v = line.partition(":")
+            v = v.strip()
+            if v.lower() in ("true", "false"):
+                v = v.lower() == "true"
+            else:
+                try:
+                    v = int(v)
+                except ValueError:
+                    try:
+                        v = float(v)
+                    except ValueError:
+                        pass
+            out[k.strip()] = v
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("DTLR-TPU ngram rescoring")
+    p.add_argument("--config_path", required=True)
+    p.add_argument("--max_images", type=int, default=-1)
+    args = p.parse_args(argv)
+    ycfg = load_yaml(args.config_path)
+
+    from ..config import load_config
+    from ..data.batching import BucketBatcher
+    from ..data.loaders import build_dataset
+    from ..eval.decode import greedy_decode, greedy_labels, labels_to_text
+    from ..eval.metrics import corpus_cer
+    from ..ops.ctc import blank_synthesis
+    from ..train.engine import Trainer, batch_to_arrays
+    from .lm_decode import CharNgramLM, rescore_line
+
+    cfg = load_config(ycfg["model_config"])
+    ds = build_dataset(ycfg["dataset"], ycfg.get("mode", "test"),
+                       root=ycfg.get("data_root", "./data"))
+    charset = ds.charset
+    cfg.num_classes = len(charset)
+    cfg.dn_labelbook_size = len(charset) + 1
+
+    lm = None
+    if ycfg.get("lm_arpa"):
+        lm = CharNgramLM.from_arpa(ycfg["lm_arpa"])
+    elif ycfg.get("lm_corpus"):
+        with open(ycfg["lm_corpus"]) as fh:
+            lm = CharNgramLM(order=int(ycfg.get("lm_order", 6))).fit(
+                [l.strip() for l in fh if l.strip()]
+            )
+
+    def src():
+        for i in range(len(ds)):
+            yield ds[i]
+
+    batches = BucketBatcher(
+        src(), batch_size=int(ycfg.get("batch_size", 8)),
+        scales=cfg.data_aug_scales, max_size=cfg.data_aug_max_size,
+        max_targets=cfg.get_default("max_targets", 256), train=False,
+    )
+    trainer = Trainer(cfg, mode="ctc", output_dir=ycfg["ckpt_dir"], charset=charset)
+    first = next(iter(batches))
+    trainer.build(trainer.init_params(batch_to_arrays(first)))
+    if not trainer.try_resume() and not trainer.try_resume("checkpoint_best_regular"):
+        raise FileNotFoundError(f"no checkpoint under {ycfg['ckpt_dir']}")
+
+    logits_mult = float(ycfg.get("logits_multiplier", 2.0))
+    lm_weight = float(ycfg.get("lm_weight", 0.25))
+    beam = int(ycfg.get("beam", 16))
+
+    greedy_preds, lm_preds, gts = [], [], []
+    params = trainer.state.params
+    import jax.numpy as jnp
+
+    for batch in batches:
+        out = trainer._eval_fn(params, batch_to_arrays(batch))
+        frames = greedy_decode(out["pred_logits"], out["pred_boxes"])
+        # frame posteriors with logits temperature (reference
+        # prediction_helpers.py:17-19 multiplies logits by 2)
+        probs = np.asarray(blank_synthesis(
+            jnp.asarray(out["pred_logits"]) * logits_mult,
+            jnp.asarray(out["pred_boxes"]), eps=0.003,
+        ))
+        for b, text in enumerate(batch.texts):
+            labs = greedy_labels(frames[b : b + 1])[0]
+            greedy = labels_to_text(labs, charset)
+            rescored = rescore_line(probs[b], greedy, charset, lm,
+                                    lm_weight=lm_weight, beam=beam)
+            greedy_preds.append(greedy)
+            lm_preds.append(rescored)
+            gts.append(text)
+        if 0 < args.max_images <= len(gts):
+            break
+
+    result = {
+        "greedy_CER": corpus_cer(greedy_preds, gts),
+        "ngram_CER": corpus_cer(lm_preds, gts),
+        "n": len(gts),
+    }
+    print(json.dumps(result))
+    out_dir = os.path.join(ycfg["ckpt_dir"], "ngram_preds")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "preds_ngram.txt"), "w") as fh:
+        fh.write("\n".join(lm_preds))
+    return result
+
+
+if __name__ == "__main__":
+    main()
