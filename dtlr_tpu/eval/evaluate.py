@@ -97,6 +97,51 @@ def compute_stats(mode: str, preds_text, preds_labels, gts_text, gts_labels):
     return stats
 
 
+def write_char_histogram(out_dir: str, preds: List[str], gts: List[str]):
+    """Per-character CER-impact histogram (reference evaluation.py:584-656):
+    attribute substitutions/deletions to the GT character and insertions
+    to the predicted character, normalized by GT character frequency."""
+    from collections import Counter
+
+    from ..eval.metrics import edit_operations
+
+    err = Counter()
+    freq = Counter()
+    for p, g in zip(preds, gts):
+        freq.update(g)
+        # cheap per-char attribution: align via DP backtrace
+        m, n = len(p), len(g)
+        import numpy as np
+
+        dp = np.zeros((m + 1, n + 1), np.int32)
+        dp[:, 0] = np.arange(m + 1)
+        dp[0, :] = np.arange(n + 1)
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                c = 0 if p[i - 1] == g[j - 1] else 1
+                dp[i, j] = min(dp[i - 1, j] + 1, dp[i, j - 1] + 1, dp[i - 1, j - 1] + c)
+        i, j = m, n
+        while i > 0 or j > 0:
+            if i > 0 and j > 0 and dp[i, j] == dp[i - 1, j - 1] + (p[i - 1] != g[j - 1]):
+                if p[i - 1] != g[j - 1]:
+                    err[g[j - 1]] += 1
+                i, j = i - 1, j - 1
+            elif j > 0 and dp[i, j] == dp[i, j - 1] + 1:
+                err[g[j - 1]] += 1
+                j -= 1
+            else:
+                err[p[i - 1]] += 1
+                i -= 1
+    rows = sorted(
+        ((c, err[c], freq[c], err[c] / max(freq[c], 1)) for c in set(err) | set(freq)),
+        key=lambda r: -r[1],
+    )
+    with open(os.path.join(out_dir, "char_cer_impact.txt"), "w") as fh:
+        fh.write("char\terrors\tfreq\terror_rate\n")
+        for c, e, f, r in rows:
+            fh.write(f"{c!r}\t{e}\t{f}\t{r:.4f}\n")
+
+
 def main(argv=None):
     args = parse_args(argv)
     cfg = apply_options(load_config(args.config), parse_options(args.options))
@@ -151,6 +196,7 @@ def main(argv=None):
         fh.write("\n".join(pt))
     with open(os.path.join(out_dir, "gts.txt"), "w") as fh:
         fh.write("\n".join(gt))
+    write_char_histogram(out_dir, pt, gt)
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(rec, fh, indent=2)
     print(json.dumps(rec))
