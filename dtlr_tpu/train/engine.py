@@ -59,7 +59,20 @@ class Trainer:
         self.logger = setup_logger(output_dir)
         self.charset = charset
         self.seed = seed
-        self.mesh = mesh if mesh is not None else create_mesh(cfg.get_default("mesh_axis", "data"))
+        if mesh is not None:
+            self.mesh = mesh
+        else:
+            # use the largest device prefix that divides the batch size so
+            # the batch axis shards evenly (replaces DistributedSampler's
+            # per-rank split, reference main_synthetic.py:204-206)
+            import math as _math
+
+            n_dev = jax.device_count()
+            bs = int(cfg.get_default("batch_size", n_dev))
+            n_use = _math.gcd(bs, n_dev) if bs > 0 else n_dev
+            self.mesh = create_mesh(
+                cfg.get_default("mesh_axis", "data"), jax.devices()[:n_use]
+            )
         self.model = build_dino_from_config(cfg)
         self.weight_dict = build_weight_dict(cfg)
         self.state: Optional[TrainState] = None
