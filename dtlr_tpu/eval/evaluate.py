@@ -53,17 +53,23 @@ def parse_args(argv=None):
                    choices=["default", "CER_only", "chinese", "cipher"])
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_images", type=int, default=-1)
+    p.add_argument("--dump_detections", action="store_true",
+                   help="write COCO-style detection json (reference "
+                        "engine.py:429-484 'test' mode)")
     return p.parse_args(argv)
 
 
-def run_eval(trainer, batches, charset, token_based, nms, th, max_images=-1):
+def run_eval(trainer, batches, charset, token_based, nms, th, max_images=-1,
+             collect_detections: bool = False):
     preds_text: List[str] = []
     preds_labels: List[List[int]] = []
     gts_text: List[str] = []
     gts_labels: List[List[int]] = []
+    detections: List[dict] = []
     index = {c: i for i, c in enumerate(charset)}
 
     params = trainer.state.params
+    img_id = 0
     for batch in batches:
         arrays = batch_to_arrays(batch)
         out = trainer._eval_fn(params, {k: np.asarray(v) for k, v in arrays.items()})
@@ -71,6 +77,24 @@ def run_eval(trainer, batches, charset, token_based, nms, th, max_images=-1):
             labs = nms_decode(out["pred_logits"], out["pred_boxes"], th, nms)
         else:
             labs = greedy_labels(greedy_decode(out["pred_logits"], out["pred_boxes"]))
+        if collect_detections:
+            import jax.nn as jnn
+
+            probs = np.asarray(jnn.sigmoid(out["pred_logits"]))
+            boxes = np.asarray(out["pred_boxes"])
+            for b in range(probs.shape[0]):
+                scores = probs[b].max(-1)
+                classes = probs[b].argmax(-1)
+                keep = np.argsort(-scores)[:100]
+                for q in keep:
+                    cx, cy, w, h = boxes[b, q]
+                    detections.append({
+                        "image_id": img_id + b,
+                        "category_id": int(classes[q]),
+                        "bbox": [float(cx - w / 2), float(cy - h / 2), float(w), float(h)],
+                        "score": float(scores[q]),
+                    })
+        img_id += len(batch.texts)
         for lab_list, text in zip(labs, batch.texts):
             preds_labels.append(lab_list)
             preds_text.append(labels_to_text(lab_list, charset, token_based))
@@ -81,7 +105,7 @@ def run_eval(trainer, batches, charset, token_based, nms, th, max_images=-1):
                 gts_labels.append([index[c] for c in text if c in index])
         if 0 < max_images <= len(preds_text):
             break
-    return preds_text, preds_labels, gts_text, gts_labels
+    return preds_text, preds_labels, gts_text, gts_labels, detections
 
 
 def compute_stats(mode: str, preds_text, preds_labels, gts_text, gts_labels):
@@ -181,16 +205,20 @@ def main(argv=None):
     )
     best = None
     for th, nms in grid:
-        pt, pl, gt, gl = run_eval(
-            trainer, make_batches(), charset, token_based, nms, th, args.max_images
+        pt, pl, gt, gl, dets = run_eval(
+            trainer, make_batches(), charset, token_based, nms, th,
+            args.max_images, collect_detections=args.dump_detections,
         )
         stats = compute_stats(args.metrics, pt, pl, gt, gl)
         key = next(iter(stats))
         rec = {"TH": th, "NMS": nms, **stats}
         trainer.logger.info(f"eval {rec}")
         if best is None or stats[key] < best[1][key]:
-            best = (rec, stats, pt, gt)
-    rec, stats, pt, gt = best
+            best = (rec, stats, pt, gt, dets)
+    rec, stats, pt, gt, dets = best
+    if args.dump_detections:
+        with open(os.path.join(out_dir, "detections.json"), "w") as fh:
+            json.dump(dets, fh)
 
     with open(os.path.join(out_dir, "preds.txt"), "w") as fh:
         fh.write("\n".join(pt))

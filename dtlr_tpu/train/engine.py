@@ -211,6 +211,43 @@ class Trainer:
         self.epoch += 1
         return stats
 
+    def evaluate_detection(self, batches: Iterable[Batch],
+                           max_batches: int = -1) -> Dict[str, float]:
+        """Detection-loss-only validation (reference engine.py:277-340
+        evaluate): forward + matched losses, no decode."""
+        from ..losses.criterion import detection_loss
+
+        import functools
+
+        cfg = self.cfg
+
+        @jax.jit
+        def eval_step(params, batch):
+            targets = {"labels": batch["labels"], "boxes": batch["boxes"],
+                       "valid": batch["valid"]}
+            outputs = self.model.apply(
+                params, batch["images"], batch["valid_hw"], None, train=False
+            )
+            total, losses = detection_loss(
+                outputs, targets, cfg.num_classes, self.weight_dict,
+                focal_alpha=cfg.get_default("focal_alpha", 0.25),
+                matcher_impl=cfg.get_default("matcher_impl", "jax"),
+            )
+            return total, losses
+
+        mlog = MetricLogger()
+        for i, batch in enumerate(batches):
+            if 0 < max_batches <= i:
+                break
+            arrays = shard_batch(self.mesh, batch_to_arrays(batch))
+            total, losses = eval_step(self.state.params, arrays)
+            mlog.update(loss=float(total),
+                        **{k: float(v) for k, v in losses.items()
+                           if k in ("loss_ce", "loss_bbox", "loss_giou")})
+        stats = {k: m.global_avg for k, m in mlog.meters.items()}
+        self.logger.info(f"detection eval: {stats}")
+        return stats
+
     def evaluate_ctc(self, batches: Iterable[Batch], charset: List[str],
                      max_batches: int = -1, use_ema: bool = False) -> Dict[str, float]:
         """Greedy-decode CER/WER over a validation set (reference
