@@ -13,6 +13,38 @@ from __future__ import annotations
 import numpy as np
 from PIL import Image, ImageDraw, ImageFilter
 
+# pool of pre-rendered base backgrounds, mirroring the reference's fixed
+# background-image folder (generate_canva.py samples crops from a static
+# resources/ pool); regenerating low-frequency shading per line image is
+# the single-core host's hottest path otherwise
+_BG_POOL: list = []
+_BG_POOL_SIZE = 48
+_BG_SIZE = (768, 448)  # (w, h) master backgrounds, cropped per request
+
+
+def _build_pool(rng: np.random.Generator):
+    while len(_BG_POOL) < _BG_POOL_SIZE:
+        _BG_POOL.append(generate_background(rng, *_BG_SIZE))
+
+
+def pooled_background(rng: np.random.Generator, w: int, h: int) -> Image.Image:
+    """Random crop (+flip/brightness jitter) of a pooled background."""
+    _build_pool(rng)
+    base = _BG_POOL[rng.integers(0, len(_BG_POOL))]
+    bw, bh = base.size
+    if w <= bw and h <= bh:
+        x = int(rng.integers(0, bw - w + 1))
+        y = int(rng.integers(0, bh - h + 1))
+        out = base.crop((x, y, x + w, y + h))
+    else:
+        out = base.resize((w, h), Image.BILINEAR)
+    if rng.random() < 0.5:
+        out = out.transpose(Image.FLIP_LEFT_RIGHT)
+    if rng.random() < 0.3:
+        arr = np.asarray(out, np.float32) + rng.uniform(-15, 15)
+        out = Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
+    return out
+
 
 def generate_background(rng: np.random.Generator, w: int, h: int) -> Image.Image:
     base = np.asarray(
@@ -74,8 +106,9 @@ def compose_canvas(
     """Paste an RGBA text layer onto a generated background; global blur
     and 50% grayscale (reference generate_canva.py:229-246)."""
     w, h = text_layer.size
-    bg = generate_background(rng, w, h)
-    bg = add_noise_patterns(rng, bg)
+    bg = pooled_background(rng, w, h)
+    if rng.random() < 0.5:
+        bg = add_noise_patterns(rng, bg)
     canvas = bg.convert("RGBA")
     canvas.alpha_composite(text_layer)
     canvas = canvas.convert("RGB")

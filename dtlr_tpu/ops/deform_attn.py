@@ -62,7 +62,7 @@ def _sample_level(value_l, loc_l, h: int, w: int):
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
 
-    out = jnp.zeros((B, Lq, M, P, D), dtype=value_l.dtype)
+    out = jnp.zeros((B, Lq, M, P, D), dtype=jnp.float32)
     for dy, dx, wgt in (
         (0, 0, (1 - ly) * (1 - lx)),
         (0, 1, (1 - ly) * lx),
@@ -77,7 +77,10 @@ def _sample_level(value_l, loc_l, h: int, w: int):
         idx_t = idx.transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
         gathered = jnp.take_along_axis(value_l, idx_t[..., None], axis=2)
         gathered = gathered.reshape(B, M, Lq, P, D).transpose(0, 2, 1, 3, 4)
-        out = out + gathered * (wgt * valid.astype(value_l.dtype))[..., None]
+        # gather stays in storage dtype; arithmetic promotes to fp32
+        out = out + gathered.astype(jnp.float32) * (
+            wgt * valid.astype(jnp.float32)
+        )[..., None]
     return out
 
 
@@ -116,7 +119,7 @@ def _sample_level_packed(value_l, loc_l, h: int, w: int):
     vx1 = (x0i + 1 >= 0) & (x0i + 1 < w)
     vy0 = (y0i >= 0) & (y0i < h)
     vy1 = (y0i + 1 >= 0) & (y0i + 1 < h)
-    f = lambda c: c.astype(value_l.dtype)
+    f = lambda c: c.astype(jnp.float32)
     w00 = (1 - ly) * (1 - lx) * f(vy0 & vx0)
     w01 = (1 - ly) * lx * f(vy0 & vx1)
     w10 = ly * (1 - lx) * f(vy1 & vx0)
@@ -130,7 +133,9 @@ def _sample_level_packed(value_l, loc_l, h: int, w: int):
     g = jnp.take_along_axis(vquad, idx_t[..., None], axis=2)  # (B,M,LqP,4D)
     g = g.reshape(B, M, Lq, P, 4, D).transpose(0, 2, 1, 3, 4, 5)
     wgt = jnp.stack([w00, w01, w10, w11], axis=-1)  # (B,Lq,M,P,4)
-    return jnp.einsum("bqmpcd,bqmpc->bqmpd", g, wgt)
+    return jnp.einsum(
+        "bqmpcd,bqmpc->bqmpd", g, wgt, preferred_element_type=jnp.float32
+    )
 
 
 def deform_attn_xla(
@@ -159,13 +164,14 @@ def deform_attn_xla(
     sizes, starts = level_splits(spatial_shapes)
     assert sum(sizes) == S, (sizes, S)
 
-    compute_dtype = jnp.float32
-    value = value.astype(compute_dtype)
-    sampling_locations = sampling_locations.astype(compute_dtype)
-    attention_weights = attention_weights.astype(compute_dtype)
+    # value rows move through pack+gather in their storage dtype (bf16
+    # under the mixed policy); all bilinear/attention arithmetic is fp32
+    # (the reference's AMP carve-out, ops/modules/ms_deform_attn.py:114-120)
+    sampling_locations = sampling_locations.astype(jnp.float32)
+    attention_weights = attention_weights.astype(jnp.float32)
 
     sampler = _sample_level_packed if packed else _sample_level
-    out = jnp.zeros((B, Lq, M, D), dtype=compute_dtype)
+    out = jnp.zeros((B, Lq, M, D), dtype=jnp.float32)
     for lvl, (h, w) in enumerate(spatial_shapes):
         value_l = jax.lax.dynamic_slice_in_dim(value, starts[lvl], sizes[lvl], axis=1)
         value_l = value_l.transpose(0, 2, 1, 3)  # (B, M, HW, D)
