@@ -170,7 +170,25 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = apply_options(load_config(args.config), parse_options(args.options))
 
-    ds = build_dataset(args.dataset, args.mode, root=args.data_root)
+    if args.dataset in ("synthetic", "synthetic_line_OCR_general"):
+        # self-contained eval on freshly generated labelled lines
+        from ..data.synthetic import SyntheticLineGenerator
+
+        gen = SyntheticLineGenerator(seed=123, max_words=8)
+        n = args.max_images if args.max_images > 0 else 100
+
+        class _SynthList:
+            charset = gen.charset
+
+            def __len__(self):
+                return n
+
+            def __getitem__(self, i):
+                return gen.sample_dict()
+
+        ds = _SynthList()
+    else:
+        ds = build_dataset(args.dataset, args.mode, root=args.data_root)
     charset = ds.charset
     cfg.num_classes = len(charset)
     cfg.dn_labelbook_size = len(charset) + 1
