@@ -168,10 +168,12 @@ class Trainer:
         print_freq: int = 50,
         rng=None,
         train_cer_every: int = 0,
+        profile_dir: Optional[str] = None,
     ) -> Dict[str, float]:
         """train_cer_every > 0 computes greedy train CER/WER on the
         current batch every N iterations (reference engine.py:217-225
-        does this every 100 its during CTC finetuning)."""
+        does this every 100 its during CTC finetuning). profile_dir
+        captures a jax profiler trace of iterations 10-15."""
         assert self.state is not None, "call build() first"
         rng = rng if rng is not None else jax.random.PRNGKey(self.seed + self.epoch)
         mlog = MetricLogger()
@@ -180,9 +182,21 @@ class Trainer:
         for i, batch in enumerate(batches):
             if 0 < max_iterations <= i:
                 break
+            if profile_dir is not None and i == 10:
+                try:
+                    jax.profiler.start_trace(profile_dir)
+                except Exception:
+                    profile_dir = None
             arrays = shard_batch(self.mesh, batch_to_arrays(batch))
             rng, sub = jax.random.split(rng)
             self.state, metrics = self._step_fn(self.state, arrays, sub)
+            if profile_dir is not None and i == 15:
+                try:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
+                profile_dir = None
             n_it += 1
             if train_cer_every > 0 and i % train_cer_every == 0 and self.charset:
                 out = self._eval_fn(self.state.params, arrays)
