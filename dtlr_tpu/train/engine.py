@@ -263,10 +263,13 @@ class Trainer:
         return stats
 
     def evaluate_ctc(self, batches: Iterable[Batch], charset: List[str],
-                     max_batches: int = -1, use_ema: bool = False) -> Dict[str, float]:
+                     max_batches: int = -1, use_ema: bool = False,
+                     snapshot: bool = True) -> Dict[str, float]:
         """Greedy-decode CER/WER over a validation set (reference
         engine.py:342-426 evaluate_CTC; use_ema evaluates the EMA weights
-        like main_synthetic.py:447-463)."""
+        like main_synthetic.py:447-463). ``snapshot`` renders the first
+        batch's detections to <output_dir>/snapshots (reference
+        engine.py:405-409 save_snapchot)."""
         preds, gts = [], []
         losses = []
         params = (
@@ -281,6 +284,25 @@ class Trainer:
             out = self._eval_fn(params, arrays)
             losses.append(float(out["loss_CTC"]))
             frames = greedy_decode(out["pred_logits"], out["pred_boxes"])
+            if i == 0 and snapshot:
+                try:
+                    from ..utils.visualizer import save_snapshot
+
+                    logits = np.asarray(out["pred_logits"][0])
+                    boxes = np.asarray(out["pred_boxes"][0])
+                    scores = 1 / (1 + np.exp(-logits.max(-1)))
+                    keep = scores > 0.3
+                    save_snapshot(
+                        os.path.join(self.output_dir, "snapshots"),
+                        self.epoch,
+                        batch.images[0],
+                        boxes[keep],
+                        logits.argmax(-1)[keep],
+                        charset,
+                        valid_hw=batch.valid_hw[0],
+                    )
+                except Exception as exc:  # snapshots must never kill eval
+                    self.logger.info(f"snapshot failed: {exc}")
             for labs, text in zip(greedy_labels(frames), batch.texts):
                 preds.append(labels_to_text(labs, charset))
                 gts.append(text)
