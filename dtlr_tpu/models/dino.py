@@ -111,6 +111,7 @@ class DINO(nn.Module):
     shared_offsets: bool = False
     encoder_type: str = "deformable"
     encoder_win: int = 32
+    use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -173,6 +174,7 @@ class DINO(nn.Module):
             shared_offsets=self.shared_offsets,
             encoder_type=self.encoder_type,
             encoder_win=self.encoder_win,
+            use_checkpoint=self.use_checkpoint,
             dtype=self.dtype,
             name="transformer",
         )
@@ -342,5 +344,6 @@ def build_dino_from_config(cfg) -> DINO:
         shared_offsets=cfg.get_default("deform_shared_offsets", False),
         encoder_type=cfg.get_default("encoder_type", "deformable"),
         encoder_win=cfg.get_default("encoder_win", 32),
+        use_checkpoint=cfg.get_default("use_checkpoint", False),
         dtype=dtype,
     )

@@ -203,15 +203,33 @@ class DeformableTransformer(nn.Module):
     shared_offsets: bool = False
     encoder_type: str = "deformable"  # or "windowed" (TPU-native dense)
     encoder_win: int = 32
+    use_checkpoint: bool = False  # remat encoder/decoder layers
     dtype: Any = jnp.float32
 
     def setup(self):
         self.level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (self.num_feature_levels, self.d_model)
         )
+        # static_argnums: spatial_shapes tuples and `deterministic` must
+        # stay python values under remat
+        # flax remat: scope is argument 0, so the spatial_shapes tuple is
+        # at positional index (1 + its position in __call__); the
+        # `deterministic` kwarg is closed over, not a remat argument
+        EncLayerW = (
+            nn.remat(WindowedEncoderLayer, static_argnums=(3,))
+            if self.use_checkpoint else WindowedEncoderLayer
+        )
+        EncLayer = (
+            nn.remat(EncoderLayer, static_argnums=(4,))
+            if self.use_checkpoint else EncoderLayer
+        )
+        DecLayer = (
+            nn.remat(DecoderLayer, static_argnums=(5,))
+            if self.use_checkpoint else DecoderLayer
+        )
         if self.encoder_type == "windowed":
             self.encoder_layers = [
-                WindowedEncoderLayer(self.d_model, self.d_ffn, self.n_heads,
+                EncLayerW(self.d_model, self.d_ffn, self.n_heads,
                                      self.num_feature_levels, win=self.encoder_win,
                                      shift=bool(i % 2), dropout=self.dropout,
                                      dtype=self.dtype, name=f"encoder_layer_{i}")
@@ -219,14 +237,14 @@ class DeformableTransformer(nn.Module):
             ]
         else:
             self.encoder_layers = [
-                EncoderLayer(self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
+                EncLayer(self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
                              self.enc_n_points, self.dropout,
                              shared_offsets=self.shared_offsets, dtype=self.dtype,
                              name=f"encoder_layer_{i}")
                 for i in range(self.num_encoder_layers)
             ]
         self.decoder_layers = [
-            DecoderLayer(self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
+            DecLayer(self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
                          self.dec_n_points, self.dropout, self.module_seq,
                          shared_offsets=self.shared_offsets, dtype=self.dtype,
                          name=f"decoder_layer_{i}")
