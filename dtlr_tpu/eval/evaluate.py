@@ -176,6 +176,7 @@ def main(argv=None):
 
         gen = SyntheticLineGenerator(seed=123, max_words=8)
         n = args.max_images if args.max_images > 0 else 100
+        samples = [gen.sample_dict() for _ in range(n)]  # fixed eval set
 
         class _SynthList:
             charset = gen.charset
@@ -184,7 +185,7 @@ def main(argv=None):
                 return n
 
             def __getitem__(self, i):
-                return gen.sample_dict()
+                return samples[i]
 
         ds = _SynthList()
     else:
