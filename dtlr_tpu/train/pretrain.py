@@ -37,6 +37,9 @@ def parse_args(argv=None):
     p.add_argument("--data_root", default="./data")
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--eval_every", type=int, default=5)
+    p.add_argument("--eval", action="store_true",
+                   help="evaluation-only pass (reference main_synthetic.py "
+                        "--eval mode): resume checkpoint, run val CER, exit")
     return p.parse_args(argv)
 
 
@@ -93,6 +96,12 @@ def main(argv=None):
     trainer.build(params)
     if args.resume:
         trainer.try_resume()
+
+    if args.eval:
+        val_batches = make_batcher(val_iter, False, args.seed + 7)
+        stats = trainer.evaluate_ctc(iter(val_batches), charset, max_batches=50)
+        print(stats)
+        return stats
 
     save_int = cfg.get_default("save_checkpoint_interval", 100)
     for epoch in range(trainer.epoch, cfg.epochs):
