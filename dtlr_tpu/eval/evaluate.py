@@ -109,15 +109,22 @@ def run_eval(trainer, batches, charset, token_based, nms, th, max_images=-1,
 
 
 def compute_stats(mode: str, preds_text, preds_labels, gts_text, gts_labels):
+    """Metric aggregation mirrors the reference: per-line means as the
+    primary report (evaluation.py:543-582) plus the 'DAN' corpus CER
+    after standardization (:519-533)."""
     if mode == "chinese":
         ar, cr = M.ar_cr(preds_labels, gts_labels)
-        return {"AR": ar, "CR": cr}
+        # sort key first: lower (1 - AR) is better
+        return {"one_minus_AR": 1 - ar, "AR": ar, "CR": cr}
     if mode == "cipher":
         ser, wa = M.ser_wa(preds_labels, gts_labels)
         return {"SER": ser, "WA": wa}
-    stats = {"CER": M.corpus_cer(preds_text, gts_text)}
+    stats = {
+        "CER": M.mean_cer(preds_text, gts_text),
+        "CER_corpus": M.corpus_cer(preds_text, gts_text),
+    }
     if mode == "default":
-        stats["WER"] = M.corpus_wer(preds_text, gts_text)
+        stats["WER"] = M.mean_wer(preds_text, gts_text)
     return stats
 
 

@@ -119,30 +119,50 @@ def corpus_wer(preds: List[str], gts: List[str]) -> float:
 
 
 def ar_cr(pred_labels: List[Sequence[int]], gt_labels: List[Sequence[int]]):
-    """CASIA metrics (reference evaluation.py:242-292, 560-571):
-    AR = 1 - (sub+del+ins)/len, CR = (len - del - sub)/len, corpus level."""
-    total_len = total_sub = total_del = total_ins = 0
+    """CASIA metrics, aggregated as the reference does — a mean of
+    per-line values (reference evaluation.py:560-571: AR_it = 1 - cer_it,
+    CR_it = compute_CR, then np.mean over lines)."""
+    ars, crs = [], []
     for p, g in zip(pred_labels, gt_labels):
-        s, d, i = edit_operations(list(p), list(g))
-        total_sub += s
-        total_del += d
-        total_ins += i
-        total_len += len(g)
-    L = max(total_len, 1)
-    ar = (L - total_sub - total_del - total_ins) / L
-    cr = (L - total_del - total_sub) / L
-    return ar, cr
+        p, g = list(p), list(g)
+        line_cer = levenshtein(p, g) / max(len(g), 1)
+        ars.append(1.0 - line_cer)
+        _, d, s = _ops_gt_side(p, g)
+        crs.append((len(g) - d - s) / max(len(g), 1))
+    n = max(len(ars), 1)
+    return sum(ars) / n, sum(crs) / n
+
+
+def _ops_gt_side(pred, gt):
+    """(ins, del, sub) with del/sub counted on the gt side (reference
+    compute_edit_operations(gt, pred), evaluation.py:242-284)."""
+    s, d, i = edit_operations(list(pred), list(gt))
+    return i, d, s
 
 
 def ser_wa(pred_labels: List[Sequence[int]], gt_labels: List[Sequence[int]]):
-    """Cipher metrics (reference evaluation.py:214-241, 573-582):
-    SER = corpus symbol error rate; WA = positional symbol accuracy."""
-    num = den = 0
-    correct = total = 0
+    """Cipher metrics, per-line means like the reference
+    (evaluation.py:573-582): SER = mean per-line symbol error rate;
+    WA = mean per-line positional accuracy (compute_WA :214-241)."""
+    sers, was = [], []
     for p, g in zip(pred_labels, gt_labels):
-        num += levenshtein(list(p), list(g))
-        den += len(g)
-        for k in range(min(len(p), len(g))):
-            correct += int(p[k] == g[k])
-        total += len(g)
-    return num / max(den, 1), correct / max(total, 1)
+        p, g = list(p), list(g)
+        sers.append(levenshtein(p, g) / max(len(g), 1))
+        correct = sum(
+            1 for k in range(min(len(p), len(g))) if p[k] == g[k]
+        )
+        was.append(correct / max(len(g), 1))
+    n = max(len(sers), 1)
+    return sum(sers) / n, sum(was) / n
+
+
+def mean_cer(preds: List[str], gts: List[str]) -> float:
+    """Per-line mean CER (the reference's primary CER report,
+    evaluation.py:543-551 np.mean(CER_list))."""
+    vals = [cer(p, g) for p, g in zip(preds, gts)]
+    return sum(vals) / max(len(vals), 1)
+
+
+def mean_wer(preds: List[str], gts: List[str]) -> float:
+    vals = [wer(p, g) for p, g in zip(preds, gts)]
+    return sum(vals) / max(len(vals), 1)
