@@ -133,7 +133,9 @@ class SyntheticLineGenerator:
         seed: int = 0,
         max_words: int = 30,
         fonts: Optional[Sequence[str]] = None,
+        plain_background: bool = False,
     ):
+        self.plain_background = plain_background
         self.charset = list(charset) if charset is not None else load_default_charset()
         self.index = {c: i for i, c in enumerate(self.charset)}
         self.corpus = list(corpus_lines) if corpus_lines else None
@@ -177,7 +179,14 @@ class SyntheticLineGenerator:
                 if not self._font_ok[key]:
                     continue
                 layer, boxes = render_text_line(rng, text, font_path)
-                canvas = compose_canvas(rng, layer)
+                if self.plain_background:
+                    from PIL import Image
+
+                    bg = Image.new("RGBA", layer.size, (245, 243, 235, 255))
+                    bg.alpha_composite(layer)
+                    canvas = bg.convert("RGB")
+                else:
+                    canvas = compose_canvas(rng, layer)
                 img = np.asarray(canvas, np.float32) / 255.0
                 labels = np.asarray([self.index[c] for c in text], np.int32)
                 # chars the font cannot render produce degenerate boxes; keep

@@ -35,8 +35,10 @@ def label_params(params, lr_backbone_scale: float) -> Any:
 
 def make_lr_schedule(base_lr: float, cfg) -> optax.Schedule:
     """StepLR: xgamma 0.1 at lr_drop epochs (reference
-    main_synthetic.py:199-202); onecycle/multistep variants honored."""
+    main_synthetic.py:199-202); onecycle/multistep variants honored.
+    ``warmup_steps`` (TPU addition, default 0) prepends linear warmup."""
     steps_per_epoch = int(cfg.get_default("steps_per_epoch", 1250))
+    warmup = int(cfg.get_default("warmup_steps", 0))
     if cfg.get_default("onecyclelr", False):
         total = cfg.epochs * steps_per_epoch
         return optax.cosine_onecycle_schedule(total, base_lr)
@@ -44,9 +46,15 @@ def make_lr_schedule(base_lr: float, cfg) -> optax.Schedule:
         bounds = {
             int(e * steps_per_epoch): 0.1 for e in cfg.get_default("lr_drop_list", [33, 45])
         }
-        return optax.piecewise_constant_schedule(base_lr, bounds)
-    drop = int(cfg.lr_drop * steps_per_epoch)
-    return optax.piecewise_constant_schedule(base_lr, {drop: 0.1})
+        main = optax.piecewise_constant_schedule(base_lr, bounds)
+    else:
+        drop = int(cfg.lr_drop * steps_per_epoch)
+        main = optax.piecewise_constant_schedule(base_lr, {drop: 0.1})
+    if warmup > 0:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base_lr, warmup), main], [warmup]
+        )
+    return main
 
 
 def build_optimizer(cfg, params) -> optax.GradientTransformation:
