@@ -61,9 +61,13 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     dump_config(cfg, os.path.join(args.output_dir, "config_cfg.py"))
 
+    plain = cfg.get_default("plain_background", False)
+    max_words = cfg.get_default("synthetic_max_words", 30)
     if args.dataset_file == "synthetic_line_OCR_general":
-        train_src = build_dataset(args.dataset_file, "train", seed=args.seed)
-        val_src = build_dataset(args.dataset_file, "val", seed=args.seed + 1)
+        train_src = build_dataset(args.dataset_file, "train", seed=args.seed,
+                                  plain_background=plain, max_words=max_words)
+        val_src = build_dataset(args.dataset_file, "val", seed=args.seed + 1,
+                                plain_background=plain, max_words=max_words)
         charset = train_src.charset
         train_iter, val_iter = iter(train_src), iter(val_src)
     elif args.dataset_file == "HWDB_synth":
