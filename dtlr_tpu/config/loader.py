@@ -13,7 +13,7 @@ import copy
 import os
 import pprint
 import runpy
-from typing import Any, Dict, Iterable, List
+from typing import Any, Dict, Iterable
 
 
 _RESERVED = ("_base_", "_delete_")

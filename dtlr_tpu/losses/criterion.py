@@ -14,7 +14,7 @@ invalid targets (see ops/matcher.py).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ Cost matrix (reference matcher.py:76-90):
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,12 +15,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.batching import Batch, BucketBatcher
+from ..data.batching import Batch
 from ..eval.decode import greedy_decode, greedy_labels, labels_to_text
 from ..eval.metrics import corpus_cer, corpus_wer
 from ..losses.criterion import build_weight_dict
 from ..models.dino import build_dino_from_config
-from ..parallel.mesh import batch_sharding, create_mesh, replicated, shard_batch
+from ..parallel.mesh import create_mesh, shard_batch
 from ..utils.logging_utils import MetricLogger, append_log_line, setup_logger
 from . import checkpoints as ckpt_lib
 from .optim import build_head_only_optimizer, build_optimizer
@@ -230,8 +230,6 @@ class Trainer:
         """Detection-loss-only validation (reference engine.py:277-340
         evaluate): forward + matched losses, no decode."""
         from ..losses.criterion import detection_loss
-
-        import functools
 
         cfg = self.cfg
 

@@ -12,7 +12,7 @@ buffers outside the optimizer)."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any
 
 import jax
 import optax
