@@ -47,13 +47,33 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
 
 def restore_checkpoint(ckpt_dir: str, template: Dict[str, Any],
                        step: Optional[int] = None) -> Optional[Dict[str, Any]]:
-    """Restore into the structure of ``template``; None if no checkpoint."""
+    """Restore into the structure of ``template``; None if no checkpoint.
+
+    Falls back to a template-free (raw) restore when the template
+    structure doesn't match what's on disk (e.g. loading only params
+    from a checkpoint that carries a different optimizer state — the
+    reference's strict=False load, main_synthetic.py:260-277)."""
     mgr = _manager(ckpt_dir)
     step = step if step is not None else mgr.latest_step()
     if step is None:
         mgr.close()
         return None
-    out = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    try:
+        out = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    except ValueError:
+        out = mgr.restore(step, args=ocp.args.StandardRestore())
+    mgr.close()
+    return out
+
+
+def restore_raw(ckpt_dir: str, step: Optional[int] = None) -> Optional[Dict[str, Any]]:
+    """Template-free restore: returns the checkpoint exactly as saved."""
+    mgr = _manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        mgr.close()
+        return None
+    out = mgr.restore(step, args=ocp.args.StandardRestore())
     mgr.close()
     return out
 
