@@ -72,8 +72,36 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     dump_config(cfg, os.path.join(args.output_dir, "config_cfg.py"))
 
-    train_ds = build_dataset(args.dataset_file, "train", root=args.data_root)
-    val_ds = build_dataset(args.dataset_file, "val", root=args.data_root)
+    if args.dataset_file in ("synthetic", "synthetic_line_OCR_general"):
+        # self-contained finetuning demo on generated lines
+        from ..data.synthetic import SyntheticLineGenerator
+
+        g_tr = SyntheticLineGenerator(
+            seed=args.seed, max_words=cfg.get_default("synthetic_max_words", 8),
+            plain_background=cfg.get_default("plain_background", False),
+        )
+        g_va = SyntheticLineGenerator(
+            seed=args.seed + 999,
+            max_words=cfg.get_default("synthetic_max_words", 8),
+            plain_background=cfg.get_default("plain_background", False),
+        )
+        va_samples = [g_va.sample_dict() for _ in range(64)]
+
+        class _SynthDs:
+            def __init__(self, gen=None, samples=None):
+                self.charset = g_tr.charset
+                self._gen, self._samples = gen, samples
+
+            def __len__(self):
+                return 10 ** 9 if self._samples is None else len(self._samples)
+
+            def __getitem__(self, i):
+                return self._gen.sample_dict() if self._samples is None else self._samples[i]
+
+        train_ds, val_ds = _SynthDs(gen=g_tr), _SynthDs(samples=va_samples)
+    else:
+        train_ds = build_dataset(args.dataset_file, "train", root=args.data_root)
+        val_ds = build_dataset(args.dataset_file, "val", root=args.data_root)
     charset = train_ds.charset
     cfg.num_classes = len(charset)
     cfg.dn_labelbook_size = len(charset) + 1
