@@ -48,11 +48,19 @@ def parse_args(argv=None):
 
 
 def dataset_iter(ds):
-    """Cycle a map-style dataset forever with shuffling."""
+    """Cycle a map-style dataset forever with shuffling (stream-style
+    datasets with unbounded len are consumed sequentially)."""
     import numpy as np
 
+    n = len(ds)
+    if n > 10 ** 6:  # generator-backed pseudo-dataset
+        i = 0
+        while True:
+            yield ds[i]
+            i += 1
+        return
     rng = np.random.default_rng(0)
-    order = np.arange(len(ds))
+    order = np.arange(n)
     while True:
         rng.shuffle(order)
         for i in order:
