@@ -95,11 +95,14 @@ def auction_assign(
             v2 = top2_v[:, 1]
             bid = prices[i1] + (v1 - v2) + eps  # new price if won
 
-            # tie-break by target index: pack bid with -j in low bits
-            order = bid - jnp.arange(N, dtype=jnp.float32) * 1e-9
+            # tie-break by target index. The perturbation must exceed the
+            # fp32 ulp at bid magnitude or tied bidders ALL satisfy the
+            # winner test and pile onto one query (found by the
+            # identical-columns adversarial test) — scale it by spread.
+            order = bid - jnp.arange(N, dtype=jnp.float32) * (spread * 1e-5)
             order = jnp.where(unassigned, order, NEG)
             win_order = jax.ops.segment_max(order, i1, num_segments=nq)  # (nq,)
-            is_winner = unassigned & (order >= win_order[i1] - 0.0)
+            is_winner = unassigned & (order >= win_order[i1])
 
             win_q = jnp.where(is_winner, i1, nq)  # winners' queries
             # evict previous owners of won queries
@@ -120,12 +123,17 @@ def auction_assign(
         it, assigned, owner, prices = jax.lax.while_loop(
             cond, body, (jnp.int32(0), assigned, owner, prices)
         )
-        return (prices, assigned), None
+        return (prices, assigned, owner), None
 
     prices0 = jnp.zeros((nq,), jnp.float32)
     state = (prices0, jnp.full((N,), -1, jnp.int32))
-    state, _ = run_phase(state, eps)
-    _, assigned = state
+    (prices, assigned, owner), _ = run_phase(state, eps)
+
+    # consistency: a target only keeps its query if it is the query's
+    # recorded owner (belt-and-braces dedup before greedy completion)
+    safe_q = jnp.where(assigned >= 0, assigned, 0)
+    consistent = (assigned >= 0) & (owner[safe_q] == jnp.arange(N))
+    assigned = jnp.where(consistent, assigned, -1)
 
     # greedy completion: guarantee every valid target ends up with a
     # distinct query even if the iteration cap was hit
