@@ -24,18 +24,20 @@ def main():
     from dtlr_tpu.models.dino import DINO
 
     # flagship TPU config (Latin_TPU.py): reference Latin geometry with
-    # (a) the windowed dense encoder (zero-gather, MXU-native) and
-    # (b) head-shared deformable sampling in the decoder cross-attn.
+    # (a) the windowed dense encoder (zero-gather, MXU-native),
+    # (b) dense decoder cross-attention (Q x S on the MXU; exact
+    #     deformable sampling is gather row-rate-bound on TPU), and
+    # (c) head-shared deformable sampling wherever deform attn is used.
     # Same harness, other configs: reference-faithful per-head
     # deformable = 13.8 lines/s/chip; shared-offsets deformable
-    # encoder = 25.3 lines/s/chip.
+    # encoder = 25.3; windowed encoder + deform decoder = 97.
     model = DINO(
         num_classes=166, num_queries=900, hidden_dim=256, n_heads=8,
         num_encoder_layers=6, num_decoder_layers=6, d_ffn=2048,
         num_feature_levels=4, use_dn=True, dn_number=100,
         dn_labelbook_size=167, max_targets=256, norm_kind="frozen_bn",
         shared_offsets=True, encoder_type="windowed", encoder_win=32,
-        dtype=jnp.bfloat16,
+        decoder_ca="dense", dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(0)
     # IAM eval geometry: ~85x1333 lines -> bucket 128x1344

@@ -111,6 +111,7 @@ class DINO(nn.Module):
     shared_offsets: bool = False
     encoder_type: str = "deformable"
     encoder_win: int = 32
+    decoder_ca: str = "deform"
     use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
@@ -174,6 +175,7 @@ class DINO(nn.Module):
             shared_offsets=self.shared_offsets,
             encoder_type=self.encoder_type,
             encoder_win=self.encoder_win,
+            decoder_ca=self.decoder_ca,
             use_checkpoint=self.use_checkpoint,
             dtype=self.dtype,
             name="transformer",
@@ -344,6 +346,7 @@ def build_dino_from_config(cfg) -> DINO:
         shared_offsets=cfg.get_default("deform_shared_offsets", False),
         encoder_type=cfg.get_default("encoder_type", "deformable"),
         encoder_win=cfg.get_default("encoder_win", 32),
+        decoder_ca=cfg.get_default("decoder_ca", "deform"),
         use_checkpoint=cfg.get_default("use_checkpoint", False),
         dtype=dtype,
     )

@@ -138,6 +138,7 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.0
     module_seq: Tuple[str, ...] = ("sa", "ca", "ffn")
     shared_offsets: bool = False
+    ca_type: str = "deform"  # 'deform' (reference) | 'dense' (TPU MXU-native)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -150,6 +151,7 @@ class DecoderLayer(nn.Module):
         spatial_shapes,
         memory_key_padding_mask,
         self_attn_mask=None,
+        memory_pos=None,  # (B, S, C) level+sine PE, used by ca_type='dense'
         deterministic: bool = True,
     ):
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
@@ -161,11 +163,25 @@ class DecoderLayer(nn.Module):
             return nn.LayerNorm(dtype=jnp.float32, name="norm2")(t + drop(t2))
 
         def ca(t):
-            t2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
-                              shared_offsets=self.shared_offsets,
-                              dtype=self.dtype, name="cross_attn")(
-                t + query_pos, reference_points_input, memory, spatial_shapes,
-                memory_key_padding_mask)
+            if self.ca_type == "dense":
+                # dense Q x S cross-attention (DETR-style: keys carry the
+                # level+sine positional encoding, values are content-only).
+                # TPU rationale: exact deformable sampling is gather
+                # row-rate-bound (~3.2 ms/layer floor at B=8, S=3570)
+                # while the full dense attention costs the same 3.2 ms on
+                # the MXU with none of the gather machinery (measured;
+                # see PERFORMANCE.md). Config `decoder_ca='dense'`.
+                blocked = memory_key_padding_mask[:, None, :]  # (B, 1, S)
+                t2 = MultiHeadAttention(self.d_model, self.n_heads, dtype=self.dtype,
+                                        name="cross_attn")(
+                    t + query_pos, memory + memory_pos.astype(memory.dtype),
+                    memory, blocked)
+            else:
+                t2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
+                                  self.n_points, shared_offsets=self.shared_offsets,
+                                  dtype=self.dtype, name="cross_attn")(
+                    t + query_pos, reference_points_input, memory, spatial_shapes,
+                    memory_key_padding_mask)
             return nn.LayerNorm(dtype=jnp.float32, name="norm1")(t + drop(t2))
 
         def ffn(t):
@@ -203,10 +219,19 @@ class DeformableTransformer(nn.Module):
     shared_offsets: bool = False
     encoder_type: str = "deformable"  # or "windowed" (TPU-native dense)
     encoder_win: int = 32
+    decoder_ca: str = "deform"  # or "dense" (TPU MXU-native cross-attn)
     use_checkpoint: bool = False  # remat encoder/decoder layers
     dtype: Any = jnp.float32
 
     def setup(self):
+        if self.encoder_type not in ("deformable", "windowed"):
+            raise ValueError(
+                f"encoder_type must be 'deformable' or 'windowed', got {self.encoder_type!r}"
+            )
+        if self.decoder_ca not in ("deform", "dense"):
+            raise ValueError(
+                f"decoder_ca must be 'deform' or 'dense', got {self.decoder_ca!r}"
+            )
         self.level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (self.num_feature_levels, self.d_model)
         )
@@ -246,8 +271,8 @@ class DeformableTransformer(nn.Module):
         self.decoder_layers = [
             DecLayer(self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
                          self.dec_n_points, self.dropout, self.module_seq,
-                         shared_offsets=self.shared_offsets, dtype=self.dtype,
-                         name=f"decoder_layer_{i}")
+                         shared_offsets=self.shared_offsets, ca_type=self.decoder_ca,
+                         dtype=self.dtype, name=f"decoder_layer_{i}")
             for i in range(self.num_decoder_layers)
         ]
         self.decoder_norm = nn.LayerNorm(dtype=jnp.float32, name="decoder_norm")
@@ -358,6 +383,7 @@ class DeformableTransformer(nn.Module):
                 spatial_shapes,
                 mask_flat,
                 self_attn_mask=attn_mask,
+                memory_pos=pos_flat if self.decoder_ca == "dense" else None,
                 deterministic=deterministic,
             )
 
