@@ -95,8 +95,6 @@ max_targets = 256
 # resolution buckets (H, W): each batch is padded to one bucket so jit
 # compiles a handful of programs instead of one per shape
 image_buckets = [(512, 1344), (640, 1344), (800, 1344)]
-# deformable-attention implementation: "xla" (gather) or "pallas"
-deform_impl = "pallas"
 # matcher implementation: "jax" (on-device JV) or "scipy" (host callback)
 matcher_impl = "jax"
 # data-parallel mesh axis name

@@ -178,10 +178,20 @@ def main(argv=None):
     cfg = apply_options(load_config(args.config), parse_options(args.options))
 
     if args.dataset in ("synthetic", "synthetic_line_OCR_general"):
-        # self-contained eval on freshly generated labelled lines
+        # self-contained eval on freshly generated labelled lines; honors
+        # the same synthetic_* config keys as the train/finetune drivers
+        # so a finetuned model is scored on its target distribution
+        from ..data.charset import DEFAULT_CHARSET_NO_ACCENT, load_default_charset
         from ..data.synthetic import SyntheticLineGenerator
 
-        gen = SyntheticLineGenerator(seed=123, max_words=8)
+        sub = cfg.get_default("synthetic_charset", "default")
+        gen = SyntheticLineGenerator(
+            charset=(load_default_charset(DEFAULT_CHARSET_NO_ACCENT)
+                     if sub == "no_accent" else None),
+            seed=123,
+            max_words=cfg.get_default("synthetic_max_words", 8),
+            plain_background=cfg.get_default("plain_background", False),
+        )
         n = args.max_images if args.max_images > 0 else 100
         samples = [gen.sample_dict() for _ in range(n)]  # fixed eval set
 
@@ -210,7 +220,8 @@ def main(argv=None):
         return iter(BucketBatcher(
             src(), batch_size=args.batch_size, scales=cfg.data_aug_scales,
             max_size=cfg.data_aug_max_size,
-            max_targets=cfg.get_default("max_targets", 256), train=False,
+            max_targets=cfg.get_default("max_targets", 256),
+            w_max=cfg.get_default("image_w_max", 1344), train=False,
         ))
 
     trainer = Trainer(cfg, mode="ctc", output_dir=args.ckpt_dir, charset=charset)

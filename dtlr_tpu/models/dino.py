@@ -113,6 +113,9 @@ class DINO(nn.Module):
     encoder_win: int = 32
     decoder_ca: str = "deform"
     use_checkpoint: bool = False
+    # sine PE temperatures (reference config/Latin.py:31-32)
+    pe_temperature_h: float = 20.0
+    pe_temperature_w: float = 20.0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -217,7 +220,8 @@ class DINO(nn.Module):
             poss.append(
                 sine_position_embedding_hw(
                     m, num_pos_feats=self.hidden_dim // 2,
-                    temperature_h=20.0, temperature_w=20.0,
+                    temperature_h=self.pe_temperature_h,
+                    temperature_w=self.pe_temperature_w,
                 )
             )
         for lvl in range(len(feats), self.num_feature_levels):
@@ -229,7 +233,8 @@ class DINO(nn.Module):
             poss.append(
                 sine_position_embedding_hw(
                     m, num_pos_feats=self.hidden_dim // 2,
-                    temperature_h=20.0, temperature_w=20.0,
+                    temperature_h=self.pe_temperature_h,
+                    temperature_w=self.pe_temperature_w,
                 )
             )
 
@@ -348,5 +353,7 @@ def build_dino_from_config(cfg) -> DINO:
         encoder_win=cfg.get_default("encoder_win", 32),
         decoder_ca=cfg.get_default("decoder_ca", "deform"),
         use_checkpoint=cfg.get_default("use_checkpoint", False),
+        pe_temperature_h=float(cfg.get_default("pe_temperatureH", 20)),
+        pe_temperature_w=float(cfg.get_default("pe_temperatureW", 20)),
         dtype=dtype,
     )

@@ -5,10 +5,11 @@ Motivation: multi-scale deformable attention is gather-bound on TPU
 (row-rate limited; see ops/deform_attn.py). For *text lines* the token
 grid is short and wide, so dense attention inside full-height x
 ``win``-column windows maps straight onto the MXU with zero gathers.
-Alternate layers shift the windows by win/2 (Swin-style) so information
-propagates along the line; a light cross-level mix (resize + 1x1 dense
-from the neighboring pyramid levels) replaces deformable attention's
-cross-level sampling.
+Alternate layers shift the windows by win/2 (Swin-style, with the
+wrapped window's cross-boundary pairs masked exactly as Swin does) so
+information propagates along the line; a light cross-level mix (resize
++ 1x1 dense from the neighboring pyramid levels) replaces deformable
+attention's cross-level sampling.
 
 This is a deliberate architecture deviation (config
 ``encoder_type='windowed'``, default 'deformable' = reference-faithful).
@@ -24,8 +25,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _window_attention(q, k, v, key_valid, n_heads: int, dtype):
-    """q,k,v: (Bw, N, C); key_valid: (Bw, N) bool."""
+def _window_attention(q, k, v, key_valid, n_heads: int, dtype,
+                      col_allow=None, dims=None):
+    """q,k,v: (Bw, N, C); key_valid: (Bw, N) bool.
+
+    ``col_allow`` (nW, win, win) masks cross-segment pairs in shifted
+    (rolled) windows, Swin-style: tokens wrapped from the other end of
+    the line may share a window but must not attend to each other.
+    ``dims`` = (B, nW, h, win) identifies the window layout.
+    """
     Bw, N, C = q.shape
     D = C // n_heads
     qh = q.reshape(Bw, N, n_heads, D)
@@ -34,6 +42,11 @@ def _window_attention(q, k, v, key_valid, n_heads: int, dtype):
     logits = jnp.einsum("bnhd,bkhd->bhnk", qh, kh) / jnp.sqrt(D).astype(q.dtype)
     neg = jnp.finfo(logits.dtype).min
     logits = jnp.where(key_valid[:, None, None, :], logits, neg)
+    if col_allow is not None:
+        B, nW, h, win = dims
+        lg = logits.reshape(B, nW, n_heads, h, win, h, win)
+        lg = jnp.where(col_allow[None, :, None, None, :, None, :], lg, neg)
+        logits = lg.reshape(Bw, n_heads, N, N)
     w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
     out = jnp.einsum("bhnk,bkhd->bnhd", w, vh)
     return out.reshape(Bw, N, C)
@@ -59,7 +72,12 @@ class WindowedEncoderLayer(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         B, S, C = src.shape
-        qkv = nn.DenseGeneral((3, C), axis=-1, dtype=self.dtype, name="qkv")
+        # split projections: q/k read content+pos, v reads content only —
+        # one combined qk plus one v matmul instead of computing a fused
+        # qkv twice per layer (the math is unchanged; old fused-qkv
+        # checkpoints remap exactly via checkpoints.migrate_windowed_qkv)
+        qk = nn.DenseGeneral((2, C), axis=-1, dtype=self.dtype, name="qk")
+        v_proj = nn.Dense(C, dtype=self.dtype, name="v_proj")
         out_proj = nn.Dense(C, dtype=self.dtype, name="out_proj")
 
         outs = []
@@ -88,11 +106,24 @@ class WindowedEncoderLayer(nn.Module):
                 t = t.transpose(0, 2, 1, 3) if not c else t.transpose(0, 2, 1, 3, 4)
                 return t.reshape(B * nW, h * win, c) if c else t.reshape(B * nW, h * win)
 
+            if sh:
+                # Swin-style shifted-window mask: after the roll the last
+                # window holds both line ends; block cross-segment pairs
+                import numpy as _np
+
+                seg = _np.arange(Wp) >= Wp - sh
+                segw = seg.reshape(nW, win)
+                col_allow = jnp.asarray(segw[:, :, None] == segw[:, None, :])
+            else:
+                col_allow = None
+
             xq = part(xw) + part(pw)
-            q3 = qkv(xq)                    # (Bw, N, 3, C)
-            vv = qkv(part(xw))[..., 2, :]   # value from content only
+            q2 = qk(xq)                     # (Bw, N, 2, C)
+            vv = v_proj(part(xw))           # value from content only
             attn = _window_attention(
-                q3[..., 0, :], q3[..., 1, :], vv, part(vw, 0), self.n_heads, self.dtype
+                q2[..., 0, :], q2[..., 1, :], vv, part(vw, 0),
+                self.n_heads, self.dtype,
+                col_allow=col_allow, dims=(B, nW, h, win),
             )
             attn = out_proj(attn)
             attn = attn.reshape(B, nW, h, win, C).transpose(0, 2, 1, 3, 4).reshape(B, h, Wp, C)

@@ -4,12 +4,12 @@ Replaces the reference's hand-written CUDA op (reference
 models/dino/ops/src/cuda/ms_deform_im2col_cuda.cuh:238-300 forward,
 302-921 backward) with:
 
-1. ``deform_attn_xla`` — a fully vectorized gather/bilinear formulation.
-   XLA lowers the ``take_along_axis`` calls to native TPU gathers and the
-   backward pass to scatter-adds; no custom kernel or VJP is needed.
-2. ``deform_attn_pallas`` (in pallas_deform.py) — a Pallas kernel that
-   pins the flattened value tensor in VMEM and performs the sampling
-   on-chip, with a custom VJP.
+``deform_attn_xla`` — a fully vectorized gather/bilinear formulation.
+XLA lowers the ``take_along_axis`` calls to native TPU gathers and the
+backward pass to scatter-adds; no custom kernel or VJP is needed.
+(A Pallas kernel was probed and is NOT viable: Mosaic on this backend
+lowers no dynamic gather at all — see PERFORMANCE.md. Revisit only if
+DynamicGatherOp lands.)
 
 Semantics match ``ms_deform_attn_core_pytorch`` (reference
 models/dino/ops/functions/ms_deform_attn_func.py:41-61): bilinear

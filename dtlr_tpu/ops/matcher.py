@@ -165,16 +165,27 @@ def _scipy_assign_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
 
 
 def scipy_assign(cost: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Exact Hungarian via host callback (testing / CPU path)."""
+    """Exact Hungarian via host callback (testing / CPU path).
+
+    Assumes valid targets occupy a contiguous prefix (the batcher always
+    packs targets that way, data/batching.py::collate); holes are
+    compacted away here so a non-prefix mask still assigns correctly.
+    """
     N = cost.shape[1]
     n_valid = jnp.sum(valid.astype(jnp.int32))
-    return jax.pure_callback(
+    # compact valid columns to a prefix: invalid columns get +inf cost
+    # and sort to the back (stable), then results scatter back below
+    order = jnp.argsort(~valid, stable=True)          # valid first
+    cost = jnp.take(cost, order, axis=1)
+    inv = jnp.zeros((N,), jnp.int32).at[order].set(jnp.arange(N, dtype=jnp.int32))
+    assigned_prefix = jax.pure_callback(
         _scipy_assign_host,
         jax.ShapeDtypeStruct((N,), jnp.int32),
         cost.astype(jnp.float32),
         n_valid,
         vmap_method="sequential",
     )
+    return jnp.take(assigned_prefix, inv)
 
 
 @partial(jax.jit, static_argnames=("impl", "cost_class", "cost_bbox", "cost_giou", "focal_alpha"))

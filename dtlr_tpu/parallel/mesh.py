@@ -54,9 +54,10 @@ def shard_batch(mesh: Mesh, batch_arrays: dict, axis_name: str = "data") -> dict
 
 
 def pad_batch_to_devices(arrays: dict, n_devices: Optional[int] = None) -> dict:
-    """Pad the batch dim to a multiple of the device count (repeat last
-    sample; padded samples carry zero targets so they only waste FLOPs,
-    not gradients — the CTC/detection losses mask by validity)."""
+    """Pad the batch dim to a multiple of the device count. Images repeat
+    the last sample (keeps activations in-distribution); labels/boxes are
+    zeroed and ``valid`` set False on padded rows so they contribute no
+    gradients or metrics (the CTC/detection losses mask by validity)."""
     n = n_devices or jax.device_count()
     B = next(iter(arrays.values())).shape[0]
     pad = (-B) % n
@@ -64,5 +65,8 @@ def pad_batch_to_devices(arrays: dict, n_devices: Optional[int] = None) -> dict:
         return arrays
     out = {}
     for k, v in arrays.items():
-        out[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+        tail = np.repeat(v[-1:], pad, axis=0)
+        if k in ("labels", "boxes", "valid"):
+            tail = np.zeros_like(tail)
+        out[k] = np.concatenate([v, tail], axis=0)
     return out

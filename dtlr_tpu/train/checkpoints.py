@@ -142,6 +142,29 @@ def surgery_class_heads(
     return params
 
 
+def migrate_windowed_qkv(tree):
+    """Exact remap of pre-split windowed-encoder params: the old fused
+    ``qkv`` DenseGeneral (kernel (C,3,C)) becomes ``qk`` (kernel (C,2,C),
+    the q/k slices) plus ``v_proj`` (the v slice). Old code computed
+    q,k = qkv(content+pos)[0:2] and v = qkv(content)[2], so slicing the
+    fused kernel reproduces the old function bit-for-bit."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k == "qkv" and isinstance(v, dict) and "kernel" in v:
+                kern, bias = v["kernel"], v["bias"]
+                out["qk"] = {"kernel": kern[:, :2, :], "bias": bias[:2]}
+                out["v_proj"] = {"kernel": kern[:, 2, :], "bias": bias[2]}
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(tree)
+
+
 # ---------------------------------------------------------------- torch import
 
 def import_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

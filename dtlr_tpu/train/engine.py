@@ -262,7 +262,7 @@ class Trainer:
 
     def evaluate_ctc(self, batches: Iterable[Batch], charset: List[str],
                      max_batches: int = -1, use_ema: bool = False,
-                     snapshot: bool = True) -> Dict[str, float]:
+                     snapshot: bool = True, tag: str = "eval") -> Dict[str, float]:
         """Greedy-decode CER/WER over a validation set (reference
         engine.py:342-426 evaluate_CTC; use_ema evaluates the EMA weights
         like main_synthetic.py:447-463). ``snapshot`` renders the first
@@ -310,7 +310,8 @@ class Trainer:
             "loss_CTC": float(np.mean(losses)) if losses else float("nan"),
             "n": len(preds),
         }
-        self.logger.info(f"eval: {stats}")
+        self.logger.info(f"{tag}: {stats}")
+        append_log_line(self.output_dir, {"epoch": self.epoch, tag: stats})
         return stats
 
     # ------------------------------------------------------------ ckpt

@@ -81,14 +81,27 @@ def main(argv=None):
     dump_config(cfg, os.path.join(args.output_dir, "config_cfg.py"))
 
     if args.dataset_file in ("synthetic", "synthetic_line_OCR_general"):
-        # self-contained finetuning demo on generated lines
+        # self-contained finetuning on generated lines; with
+        # synthetic_charset='no_accent' the target "dataset" uses the
+        # 64-char accent-free charset so the full 166->64 class-head
+        # surgery + smart-mapping path is exercised (reference
+        # finetuning.py:422-539 does exactly this when moving from the
+        # synthetic charset to a real dataset's charset)
+        from ..data.charset import DEFAULT_CHARSET_NO_ACCENT, load_default_charset
         from ..data.synthetic import SyntheticLineGenerator
 
+        sub = cfg.get_default("synthetic_charset", "default")
+        target_charset = (
+            load_default_charset(DEFAULT_CHARSET_NO_ACCENT)
+            if sub == "no_accent" else None
+        )
         g_tr = SyntheticLineGenerator(
+            charset=target_charset,
             seed=args.seed, max_words=cfg.get_default("synthetic_max_words", 8),
             plain_background=cfg.get_default("plain_background", False),
         )
         g_va = SyntheticLineGenerator(
+            charset=target_charset,
             seed=args.seed + 999,
             max_words=cfg.get_default("synthetic_max_words", 8),
             plain_background=cfg.get_default("plain_background", False),
@@ -120,6 +133,7 @@ def main(argv=None):
         src, batch_size=cfg.batch_size, scales=cfg.data_aug_scales,
         max_size=cfg.data_aug_max_size,
         max_targets=cfg.get_default("max_targets", 256),
+        w_max=cfg.get_default("image_w_max", 1344),
         train=train, space_label=space_label, seed=seed,
     )
     train_batches = make_batcher(dataset_iter(train_ds), True, args.seed)

@@ -62,20 +62,23 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
     clip = cfg.get_default("clip_max_norm", 0.1)
 
     def adamw(lr_value):
-        return optax.chain(
-            optax.clip_by_global_norm(clip) if clip > 0 else optax.identity(),
-            optax.adamw(make_lr_schedule(lr_value, cfg), weight_decay=wd,
-                        b1=0.9, b2=0.999, eps=1e-8),
-        )
+        return optax.adamw(make_lr_schedule(lr_value, cfg), weight_decay=wd,
+                           b1=0.9, b2=0.999, eps=1e-8)
 
     labels = label_params(params, cfg.lr_backbone / max(cfg.lr, 1e-30))
-    return optax.multi_transform(
-        {
-            "main": adamw(cfg.lr),
-            "backbone": adamw(cfg.lr_backbone),
-            "frozen": optax.set_to_zero(),
-        },
-        labels,
+    # clip over the SINGLE global gradient norm before splitting into
+    # per-group transforms (reference engine.py:80-94 clip_grad_norm over
+    # all parameters; per-group clipping would trigger differently)
+    return optax.chain(
+        optax.clip_by_global_norm(clip) if clip > 0 else optax.identity(),
+        optax.multi_transform(
+            {
+                "main": adamw(cfg.lr),
+                "backbone": adamw(cfg.lr_backbone),
+                "frozen": optax.set_to_zero(),
+            },
+            labels,
+        ),
     )
 
 
@@ -89,8 +92,14 @@ def build_head_only_optimizer(cfg, params, head_scopes=("class_embed", "enc_out_
 
     labels = jax.tree_util.tree_map_with_path(walk, params)
     clip = cfg.get_default("clip_max_norm", 0.01)
-    head_tx = optax.chain(
-        optax.clip_by_global_norm(clip) if clip > 0 else optax.identity(),
-        optax.adamw(make_lr_schedule(cfg.lr, cfg), weight_decay=cfg.get_default("weight_decay", 1e-4)),
+    head_tx = optax.adamw(
+        make_lr_schedule(cfg.lr, cfg),
+        weight_decay=cfg.get_default("weight_decay", 1e-4),
     )
-    return optax.multi_transform({"head": head_tx, "rest": optax.set_to_zero()}, labels)
+    # global-norm clip over the full gradient pytree (reference
+    # engine.py clips model.parameters() even when the optimizer only
+    # holds the class heads, finetuning.py:537-539)
+    return optax.chain(
+        optax.clip_by_global_norm(clip) if clip > 0 else optax.identity(),
+        optax.multi_transform({"head": head_tx, "rest": optax.set_to_zero()}, labels),
+    )

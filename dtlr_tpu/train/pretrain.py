@@ -85,6 +85,7 @@ def main(argv=None):
         scales=cfg.data_aug_scales,
         max_size=cfg.data_aug_max_size,
         max_targets=cfg.get_default("max_targets", 256),
+        w_max=cfg.get_default("image_w_max", 1344),
         train=train,
         truly_random_erasing=cfg.get_default("truly_random_erasing", False),
         instance_erasing=cfg.get_default("truly_random_erasing", False),
@@ -92,6 +93,15 @@ def main(argv=None):
         seed=seed,
     )
     train_batches = make_batcher(train_iter, True, args.seed)
+
+    # fixed held-out eval set so the CER trajectory across epochs is
+    # comparable (the reference evaluates a fixed 100-image val split,
+    # main_synthetic.py:447-463)
+    n_eval = int(cfg.get_default("eval_set_size", 200))
+    eval_samples = [next(val_iter) for _ in range(n_eval)]
+
+    def eval_batches():
+        return iter(make_batcher(iter(eval_samples), False, args.seed + 7))
 
     trainer = Trainer(cfg, mode="detection", output_dir=args.output_dir,
                       charset=charset, seed=args.seed)
@@ -102,11 +112,11 @@ def main(argv=None):
         trainer.try_resume()
 
     if args.eval:
-        val_batches = make_batcher(val_iter, False, args.seed + 7)
-        stats = trainer.evaluate_ctc(iter(val_batches), charset, max_batches=50)
+        stats = trainer.evaluate_ctc(eval_batches(), charset)
         print(stats)
         return stats
 
+    use_ema = cfg.get_default("use_ema", False)
     save_int = cfg.get_default("save_checkpoint_interval", 100)
     for epoch in range(trainer.epoch, cfg.epochs):
         stats = trainer.train_epoch(
@@ -117,8 +127,12 @@ def main(argv=None):
         if (epoch + 1) % save_int == 0:
             trainer.save(f"checkpoint{epoch:04d}")
         if (epoch + 1) % args.eval_every == 0:
-            val_batches = make_batcher(val_iter, False, args.seed + 7)
-            trainer.evaluate_ctc(iter(val_batches), charset, max_batches=25)
+            trainer.evaluate_ctc(eval_batches(), charset)
+            if use_ema:
+                # reference evaluates the EMA weights when enabled
+                # (main_synthetic.py:447-463)
+                trainer.evaluate_ctc(eval_batches(), charset,
+                                     use_ema=True, tag="eval_ema")
 
 
 if __name__ == "__main__":
