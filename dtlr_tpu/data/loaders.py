@@ -45,6 +45,31 @@ def permuted_latin_charset() -> List[str]:
     return rng.permutation(charset).tolist()
 
 
+def _split(ground_truth: Dict, mode: str):
+    """Pick the split, tolerating the val/valid naming difference between
+    pickles (IAM/READ use 'valid', RIMES/borg/copiale use 'val' — checked
+    against the real label files in /root/reference/data)."""
+    aliases = {"val": ("val", "valid"), "valid": ("valid", "val"),
+               "train": ("train",), "test": ("test",)}
+    for key in aliases.get(mode, (mode,)):
+        if key in ground_truth:
+            return ground_truth[key]
+    raise KeyError(f"split {mode!r} not in {list(ground_truth)}")
+
+
+def _as_items(gt) -> List[dict]:
+    """Normalize a split to a list of {id/idx/path?, text} dicts. Real
+    layouts: IAM/RIMES/borg/copiale are lists of dicts; READ is a dict
+    {int idx: {idx, path, text}} (and the reference's copiale labels.pkl
+    is a dict keyed by image file, copiale.py:57-60)."""
+    if isinstance(gt, dict):
+        return [
+            {"id": k, **(v if isinstance(v, dict) else {"text": v})}
+            for k, v in gt.items()
+        ]
+    return list(gt)
+
+
 class LineDataset:
     """Base: text-line dataset with charset-indexed labels, no boxes."""
 
@@ -72,12 +97,11 @@ class IAM(LineDataset):
     images at IAM_new/data/imgs/lines/<id>.jpg."""
 
     def __init__(self, root: str, mode: str, image_folder: str = "imgs"):
-        mode = {"val": "valid"}.get(mode, mode)
         with _OPEN(os.path.join(root, "IAM_new", "labels.pkl"), "rb") as fh:
             data = pickle.load(fh)
         self.charset = load_default_charset()
         super().__init__()
-        self.items = data["ground_truth"][mode]
+        self.items = _as_items(_split(data["ground_truth"], mode))
         ext = "png" if image_folder == "original" else "jpg"
         self.img_dir = os.path.join(root, "IAM_new", "data", image_folder, "lines")
         self.ext = ext
@@ -100,16 +124,22 @@ class READ(LineDataset):
     def __init__(self, root: str, mode: str):
         mode = {"val": "valid"}.get(mode, mode)
         self.mode = mode
+        self.root = root
         with _OPEN(os.path.join(root, "READ_2016", "labels.pkl"), "rb") as fh:
             data = pickle.load(fh)
         self.charset = [chr(c) if isinstance(c, int) else c for c in data["charset"]]
         super().__init__()
-        self.items = data["ground_truth"][mode]
+        self.items = _as_items(_split(data["ground_truth"], mode))
         self.img_dir = os.path.join(root, "READ_2016", "images", mode)
 
     def __getitem__(self, idx):
         ex = self.items[idx]
-        img = _load_image(os.path.join(self.img_dir, f"{ex['idx']}.jpeg"))
+        # real labels.pkl entries carry a repo-relative 'path'
+        # (e.g. 'READ_2016/images/train/train_0_0.jpeg')
+        if "path" in ex:
+            img = _load_image(os.path.join(self.root, ex["path"]))
+        else:
+            img = _load_image(os.path.join(self.img_dir, f"{ex['idx']}.jpeg"))
         return {
             "image": img,
             "labels": self.encode(ex["text"], drop=("¬",)),
@@ -123,16 +153,11 @@ class RIMES(LineDataset):
     RIMES-2011-Lines/Images/<file>.jpg."""
 
     def __init__(self, root: str, mode: str):
-        mode = {"val": "valid"}.get(mode, mode)
         with _OPEN(os.path.join(root, "RIMES-2011-Lines", "labels_corr.pkl"), "rb") as fh:
             data = pickle.load(fh)
         self.charset = [chr(c) if isinstance(c, int) else c for c in data["charset"]]
         super().__init__()
-        gt = data["ground_truth"][mode]
-        if isinstance(gt, dict):
-            self.items = [{"id": k, **(v if isinstance(v, dict) else {"text": v})} for k, v in gt.items()]
-        else:
-            self.items = gt
+        self.items = _as_items(_split(data["ground_truth"], mode))
         self.img_dir = os.path.join(root, "RIMES-2011-Lines", "Images")
 
     def __getitem__(self, idx):
@@ -157,16 +182,14 @@ class HWDB(LineDataset):
             data = pickle.load(fh)
         self.charset = list(data["charset"])
         super().__init__()
-        gt = data["ground_truth"][mode]
-        if isinstance(gt, dict):
-            self.items = [{"id": k, **(v if isinstance(v, dict) else {"text": v})} for k, v in gt.items()]
-        else:
-            self.items = gt
+        self.items = _as_items(_split(data["ground_truth"], mode))
         self.img_dir = os.path.join(root, "HWDB", mode)
 
     def __getitem__(self, idx):
         ex = self.items[idx]
-        img = _load_image(os.path.join(self.img_dir, f"{ex['id']}.png"))
+        # reference HWDB.py:54-59: the file name lives under 'idx'
+        fid = ex.get("idx", ex.get("id"))
+        img = _load_image(os.path.join(self.img_dir, f"{fid}.png"))
         return {
             "image": img,
             "labels": self.encode(ex["text"]),
@@ -181,19 +204,18 @@ class Cipher(LineDataset):
     tokens."""
 
     def __init__(self, root: str, mode: str, which: str):
-        mode = {"val": "valid"}.get(mode, mode)
         name = {"borg": "labels_Borg.pkl", "copiale": "labels_Copiale.pkl"}[which]
         with _OPEN(os.path.join(root, "old_cipher", name), "rb") as fh:
             data = pickle.load(fh)
         self.charset = list(data["charset"])
         super().__init__()
         self.which = which
-        self.token_based = which == "copiale"
-        gt = data["ground_truth"][mode]
-        if isinstance(gt, dict):
-            self.items = [{"id": k, **(v if isinstance(v, dict) else {"text": v})} for k, v in gt.items()]
-        else:
-            self.items = gt
+        # the shipped old_cipher pickles store single-character symbol
+        # charsets (text indexes per char); the reference's copiale
+        # labels.pkl variant stores multi-char token names split on
+        # spaces (copiale.py:72-79) — decide by charset content
+        self.token_based = any(len(str(t)) > 1 for t in self.charset)
+        self.items = _as_items(_split(data["ground_truth"], mode))
         sub = {"borg": "Borgimages", "copiale": os.path.join("..", "copiale", "images")}[which]
         self.img_dir = os.path.join(root, "old_cipher", sub)
 

@@ -40,25 +40,49 @@ def greedy_labels(frame_argmax: np.ndarray) -> List[List[int]]:
     return out
 
 
+def postprocess_topk(
+    pred_logits: jnp.ndarray,  # (B, nq, K)
+    pred_boxes: jnp.ndarray,   # (B, nq, 4) cxcywh
+    num_select: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flattened query x class top-``num_select`` selection (reference
+    PostProcess, models/dino/dino.py:996-1013): a query can emit more
+    than one class and low-score queries drop out entirely.
+
+    Returns (scores (B,S), labels (B,S), boxes (B,S,4) cxcywh)."""
+    B, nq, K = pred_logits.shape
+    prob = jax.nn.sigmoid(pred_logits.astype(jnp.float32)).reshape(B, nq * K)
+    scores, idx = jax.lax.top_k(prob, min(num_select, nq * K))
+    qidx = idx // K
+    labels = idx % K
+    boxes = jnp.take_along_axis(
+        pred_boxes.astype(jnp.float32), qidx[..., None], axis=1
+    )
+    return scores, labels, boxes
+
+
 def nms_decode(
     pred_logits: jnp.ndarray,  # (B, nq, K)
     pred_boxes: jnp.ndarray,   # (B, nq, 4) cxcywh
     score_threshold: float,
     nms_iou: float,
+    num_select: int | None = None,
 ) -> List[List[int]]:
-    """NMS decode (reference evaluation.py:94-115): per-query best class
-    (the reference's top-900 over query x class with 900 queries reduces
-    to per-query max), NMS on xyxy boxes, keep score > TH, x-sort."""
-    probs = jax.nn.sigmoid(pred_logits.astype(jnp.float32))
-    scores = jnp.max(probs, axis=-1)         # (B, nq)
-    labels = jnp.argmax(probs, axis=-1)      # (B, nq)
-    xyxy = box_cxcywh_to_xyxy(pred_boxes.astype(jnp.float32))
+    """NMS decode (reference evaluation.py:94-115): PostProcess with
+    num_select=900 over the flattened query x class scores (reference
+    hardcodes 900 at evaluation.py:97), class-agnostic NMS on xyxy
+    boxes (dino.py:1030-1039), keep score > TH, sort by box x-center."""
+    nq = pred_logits.shape[1]
+    scores, labels, boxes = postprocess_topk(
+        pred_logits, pred_boxes, num_select if num_select else nq
+    )
+    xyxy = box_cxcywh_to_xyxy(boxes)
     keep = batched_nms_mask(xyxy, scores, nms_iou)
     keep &= scores > score_threshold
 
     keep_np = np.asarray(keep)
     labels_np = np.asarray(labels)
-    cx = np.asarray(pred_boxes[..., 0])
+    cx = np.asarray(boxes[..., 0])
     out = []
     for b in range(keep_np.shape[0]):
         idx = np.nonzero(keep_np[b])[0]

@@ -60,7 +60,7 @@ def parse_args(argv=None):
 
 
 def run_eval(trainer, batches, charset, token_based, nms, th, max_images=-1,
-             collect_detections: bool = False):
+             collect_detections: bool = False, num_select: int = 300):
     preds_text: List[str] = []
     preds_labels: List[List[int]] = []
     gts_text: List[str] = []
@@ -78,21 +78,24 @@ def run_eval(trainer, batches, charset, token_based, nms, th, max_images=-1,
         else:
             labs = greedy_labels(greedy_decode(out["pred_logits"], out["pred_boxes"]))
         if collect_detections:
-            import jax.nn as jnn
+            # reference PostProcess protocol: top-num_select over the
+            # flattened query x class sigmoid scores (dino.py:996-1013,
+            # num_select from config — the reference 'test' dump,
+            # engine.py:429-484)
+            from ..eval.decode import postprocess_topk
 
-            probs = np.asarray(jnn.sigmoid(out["pred_logits"]))
-            boxes = np.asarray(out["pred_boxes"])
-            for b in range(probs.shape[0]):
-                scores = probs[b].max(-1)
-                classes = probs[b].argmax(-1)
-                keep = np.argsort(-scores)[:100]
-                for q in keep:
-                    cx, cy, w, h = boxes[b, q]
+            sc, cls, bx = postprocess_topk(
+                out["pred_logits"], out["pred_boxes"], num_select
+            )
+            sc, cls, bx = np.asarray(sc), np.asarray(cls), np.asarray(bx)
+            for b in range(sc.shape[0]):
+                for q in range(sc.shape[1]):
+                    cx, cy, w, h = bx[b, q]
                     detections.append({
                         "image_id": img_id + b,
-                        "category_id": int(classes[q]),
+                        "category_id": int(cls[b, q]),
                         "bbox": [float(cx - w / 2), float(cy - h / 2), float(w), float(h)],
-                        "score": float(scores[q]),
+                        "score": float(sc[b, q]),
                     })
         img_id += len(batch.texts)
         for lab_list, text in zip(labs, batch.texts):
@@ -245,6 +248,7 @@ def main(argv=None):
         pt, pl, gt, gl, dets = run_eval(
             trainer, make_batches(), charset, token_based, nms, th,
             args.max_images, collect_detections=args.dump_detections,
+            num_select=int(cfg.get_default("num_select", 300)),
         )
         stats = compute_stats(args.metrics, pt, pl, gt, gl)
         key = next(iter(stats))

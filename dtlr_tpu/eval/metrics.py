@@ -57,7 +57,12 @@ def _levenshtein_py(a: Sequence, b: Sequence) -> int:
 
 def edit_operations(pred: Sequence, gt: Sequence) -> Tuple[int, int, int]:
     """(n_sub, n_del, n_ins) wrt gt via DP backtrace (reference
-    evaluation.py:242-284). 'del' = gt chars missing from pred."""
+    evaluation.py:242-284). 'del' = gt chars missing from pred.
+    Uses the C++ runtime when built; numpy DP fallback below."""
+    from ..runtime import native
+
+    if native.available():
+        return native.edit_ops(pred, gt)
     m, n = len(pred), len(gt)
     dp = np.zeros((m + 1, n + 1), np.int32)
     dp[:, 0] = np.arange(m + 1)
@@ -81,10 +86,47 @@ def edit_operations(pred: Sequence, gt: Sequence) -> Tuple[int, int, int]:
     return subs, dels, ins
 
 
-def standardize(text: str) -> str:
-    """reference evaluation.py:430-450 process_gt_string/process_pred_string."""
-    text = re.sub(r"\s+", " ", text)
-    return text.strip()
+def process_gt_string(s: str) -> str:
+    """Exact port of reference evaluation.py:414-427 (BBC/ITV merges,
+    dash/punct space collapsing, digit-comma rule, € spacing)."""
+    s = s.replace("B B C", "BBC")
+    s = s.replace("I T V", "ITV")
+    s = s.replace(" -", "-")
+    s = s.replace("- ", "-")
+    s = s.replace(" -", "-")
+    s = s.replace("- ", "-")
+    s = s.replace(" .", ".")
+    s = s.replace(" ,", ",")
+    s = s.replace(" '", "'")
+    s = s.replace("' ", "'")
+    s = re.sub(r"(\d), (\d)", r"\1,\2", s)
+    s = re.sub(r"(?<=\S)€(?=\S)", " € ", s)
+    return s
+
+
+def process_pred_string(s: str) -> str:
+    """Exact port of reference evaluation.py:430-450 (adds double-space
+    collapse, '..'→'.' unless '...', ',,'→',')."""
+    s = s.replace("B B C", "BBC")
+    s = s.replace("I T V", "ITV")
+    s = s.replace("  ", " ")
+    s = s.replace(" -", "-")
+    s = s.replace("- ", "-")
+    s = s.replace(" .", ".")
+    s = s.replace(" ,", ",")
+    s = re.sub(r"(\d), (\d)", r"\1,\2", s)
+    s = s.replace(" '", "'")
+    s = s.replace("' ", "'")
+    s = re.sub(r"(?<=\S)€(?=\S)", " € ", s)
+    s = re.sub(r"(?<!\.)\.\.(?!\.)", ".", s)
+    s = s.replace(",,", ",")
+    return s
+
+
+# the corpus ("DAN") CER standardizes BOTH sides with process_pred_string
+# (reference evaluation.py:521-524 applies process_pred_string to the gt
+# string as well)
+standardize = process_pred_string
 
 
 def cer(pred: str, gt: str) -> float:

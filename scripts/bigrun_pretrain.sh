@@ -15,7 +15,8 @@ SNAP=/tmp/bigrun_src
 rm -rf "$SNAP" && mkdir -p "$SNAP"
 cp -r /root/repo/dtlr_tpu "$SNAP/"
 cd "$SNAP"
-export PYTHONPATH="$SNAP"
+# keep the axon PJRT plugin path (clobbering it hides the TPU backend)
+export PYTHONPATH="$SNAP:${PYTHONPATH:-}"
 exec python -m dtlr_tpu.train.pretrain \
   -c "$SNAP/dtlr_tpu/configs/Latin_TPU.py" \
   --dataset_file synthetic_line_OCR_general \

@@ -94,3 +94,47 @@ def test_ngram_lm_prefers_trained_sequences():
     better = lm.logp("th", "e")
     worse = lm.logp("th", "q")
     assert better > worse
+
+
+def test_postprocess_topk_matches_torch_oracle():
+    """Flattened query x class top-k selection vs the reference
+    PostProcess math (models/dino/dino.py:1005-1024) done in torch."""
+    import torch
+
+    from dtlr_tpu.eval.decode import postprocess_topk
+
+    rng = np.random.default_rng(0)
+    B, nq, K, S = 2, 12, 7, 20
+    logits = rng.normal(size=(B, nq, K)).astype(np.float32)
+    boxes = rng.uniform(0.1, 0.9, size=(B, nq, 4)).astype(np.float32)
+
+    sc, lab, bx = postprocess_topk(jnp.asarray(logits), jnp.asarray(boxes), S)
+
+    prob = torch.sigmoid(torch.from_numpy(logits))
+    tv, ti = torch.topk(prob.view(B, -1), S, dim=1)
+    tq = ti // K
+    tl = ti % K
+    tb = torch.gather(torch.from_numpy(boxes), 1, tq.unsqueeze(-1).repeat(1, 1, 4))
+
+    np.testing.assert_allclose(np.asarray(sc), tv.numpy(), rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(lab), tl.numpy())
+    np.testing.assert_allclose(np.asarray(bx), tb.numpy(), rtol=1e-6)
+
+
+def test_nms_decode_multiclass_query():
+    """A query whose 2nd-best class outscores every other query's best
+    must appear twice in the flattened top-k decode (impossible under
+    per-query argmax)."""
+    from dtlr_tpu.eval.decode import nms_decode
+
+    logits = np.full((1, 3, 4), -8.0, np.float32)
+    logits[0, 0, 1] = 4.0   # strong class 1
+    logits[0, 0, 2] = 3.0   # runner-up class 2, same query
+    logits[0, 1, 3] = 2.0   # weaker other query
+    boxes = np.asarray([[[0.2, 0.5, 0.1, 0.2],
+                         [0.6, 0.5, 0.1, 0.2],
+                         [0.9, 0.5, 0.1, 0.2]]], np.float32)
+    # no NMS suppression between identical boxes? NMS would drop the
+    # duplicate; use iou threshold > 1 to disable suppression
+    labs = nms_decode(jnp.asarray(logits), jnp.asarray(boxes), 0.3, 1.1)
+    assert labs[0] == [1, 2, 3] or labs[0] == [2, 1, 3]

@@ -45,7 +45,57 @@ def test_cer_wer_basic():
 
 
 def test_standardize():
-    assert standardize("  a   b\tc ") == "a b c"
+    # standardize is the reference's process_pred_string (the corpus CER
+    # protocol applies it to both sides, evaluation.py:521-524)
+    assert standardize("a  b") == "a b"
+    assert standardize("B B C news") == "BBC news"
+    assert standardize("end ..") == "end."
+    assert standardize("1, 2") == "1,2"
+
+
+def _reference_standardizers():
+    """Extract process_gt_string / process_pred_string from the mounted
+    reference source as golden oracles (evaluation.py:414-450). The
+    module itself cannot be imported (CUDA/argparse at module scope), so
+    pull just the two function defs out of the AST."""
+    import ast
+    import re as _re
+
+    path = "/root/reference/evaluation.py"
+    tree = ast.parse(open(path).read())
+    ns = {"re": _re}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in (
+            "process_gt_string", "process_pred_string",
+        ):
+            exec(compile(ast.Module([node], []), path, "exec"), ns)
+    return ns["process_gt_string"], ns["process_pred_string"]
+
+
+def test_standardization_matches_reference_oracle():
+    import os
+
+    if not os.path.exists("/root/reference/evaluation.py"):
+        import pytest
+
+        pytest.skip("reference tree not mounted")
+    from dtlr_tpu.eval.metrics import process_gt_string, process_pred_string
+
+    ref_gt, ref_pred = _reference_standardizers()
+    cases = [
+        "the B B C said - yes",
+        "I T V  shows , often .",
+        "wait .. no ... maybe ..",
+        "5, 000 and 1, 2, 3",
+        "don 't stop ' here",
+        "price10€20 and 5 € 6",
+        "a  b   c    d",
+        "double ,, comma",
+        "dash - ed and -start and end-",
+    ]
+    for s in cases:
+        assert process_gt_string(s) == ref_gt(s), s
+        assert process_pred_string(s) == ref_pred(s), s
 
 
 def test_corpus_cer():
