@@ -57,8 +57,33 @@ def prepare_sample(
     labels: Optional[np.ndarray] = None,
     space_label: int = 165,
     strong_aug: bool = False,
+    rotate_p: float = 0.0,
+    rotate_angle: float = 10.0,
+    scales2: Optional[tuple] = None,   # (scales2_resize, scales2_crop)
+    h_max: Optional[int] = None,
 ):
-    img, bx = T.resize_min_side(image, boxes, scale, max_size)
+    if train and rotate_p > 0 and rng.random() < rotate_p:
+        # box-rotating Rotate (reference sltransform.py:60-169; carried
+        # but disabled in the reference's live text stacks)
+        image, boxes = T.rotate_with_boxes(image, boxes, rotate_angle)
+    if train and scales2 is not None and rng.random() < 0.5:
+        # alternate branch: resize -> random crop -> resize (reference
+        # transforms.py RandomSelect + scales2_* keys, live in coco.py)
+        img, bx, labels = T.scales2_chain(
+            rng, image, boxes, labels, scales2[0], scales2[1],
+            [scale], max_size,
+        )
+    else:
+        img, bx = T.resize_min_side(image, boxes, scale, max_size)
+    if h_max is not None and img.shape[0] > h_max:
+        # pathological tall-narrow samples (a 1-word line on a tall
+        # canvas) otherwise mint a fresh giant (H-bucket, W-max) program
+        # per occurrence — one such 576x1024 batch OOM-killed a full
+        # Latin train-step compile at 26G HBM. Squash height, keep width.
+        s = h_max / img.shape[0]
+        img = T._interp_resize(img, h_max, max(1, int(round(img.shape[1] * s))))
+        if bx is not None and len(bx):
+            bx = bx * s
     if train:
         if strong_aug:
             # photometric augs only under strong_aug (reference
@@ -83,8 +108,11 @@ def prepare_sample(
         # (reference IAM.py:205-210)
         for _ in range(4):
             img = T.random_erasing(rng, img, p=0.5, scale=(0.005, 0.05), ratio=(5.0, 6.0))
-    img, bx = T.normalize(img, bx)
-    return img, bx
+    # pixel normalization is fused into collate (C++ normalize_into
+    # writes ImageNet-normalized pixels straight into the padded batch
+    # buffer, runtime/native.cpp); only boxes are converted here
+    bx = T.normalize_boxes(bx, img.shape[0], img.shape[1])
+    return img, bx, labels
 
 
 def collate(
@@ -93,9 +121,15 @@ def collate(
     w_max: int = 1344,
     h_quant: int = 64,
     pad_value: float = 0.0,
+    normalize_pixels: bool = True,
 ) -> Batch:
-    """samples: dicts with image (H,W,3) normalized, boxes (n,4) cxcywh
-    normalized or None, labels (n,), text."""
+    """samples: dicts with image (H,W,3) raw [0,1] float32 (ImageNet
+    normalization is fused into the padded-buffer write here, via the
+    C++ normalize_into when built), boxes (n,4) cxcywh normalized or
+    None, labels (n,), text. Pass normalize_pixels=False for
+    already-normalized images."""
+    from ..runtime import native
+
     B = len(samples)
     hmax = _round_up(max(s["image"].shape[0] for s in samples), h_quant)
     wmax = w_max
@@ -112,7 +146,14 @@ def collate(
         if w > wmax:  # safety: crop overly wide images
             img = img[:, :wmax]
             w = wmax
-        images[i, :h, :w] = img
+        if not normalize_pixels:
+            images[i, :h, :w] = img
+        elif not native.normalize_into(
+            np.ascontiguousarray(img, np.float32), images[i]
+        ):
+            from .transforms import IMAGENET_MEAN, IMAGENET_STD
+
+            images[i, :h, :w] = (img - IMAGENET_MEAN) / IMAGENET_STD
         valid_hw[i] = (h, w)
         lab = np.asarray(s.get("labels", []), np.int32).reshape(-1)
         n = min(len(lab), max_targets)
@@ -147,9 +188,17 @@ class BucketBatcher:
         instance_erasing: bool = False,
         space_label: int = 165,
         strong_aug: bool = False,
+        rotate_p: float = 0.0,
+        rotate_angle: float = 10.0,
+        scales2: Optional[tuple] = None,
+        h_max: Optional[int] = None,
         seed: int = 0,
         prefetch: int = 4,
     ):
+        self.rotate_p = rotate_p
+        self.rotate_angle = rotate_angle
+        self.scales2 = scales2
+        self.h_max = h_max
         self.source = iter(source)
         self.batch_size = batch_size
         self.scales = list(scales)
@@ -173,7 +222,7 @@ class BucketBatcher:
         prepared = []
         while len(prepared) < self.batch_size:
             raw = next(self.source)
-            img, bx = prepare_sample(
+            img, bx, lab = prepare_sample(
                 self.rng,
                 raw["image"],
                 raw.get("boxes"),
@@ -185,24 +234,40 @@ class BucketBatcher:
                 labels=np.asarray(raw.get("labels", []), np.int32),
                 space_label=self.space_label,
                 strong_aug=self.strong_aug,
+                rotate_p=self.rotate_p,
+                rotate_angle=self.rotate_angle,
+                scales2=self.scales2,
+                h_max=self.h_max,
             )
             prepared.append({
                 "image": img,
                 "boxes": bx,
-                "labels": raw.get("labels", []),
+                "labels": lab if lab is not None else raw.get("labels", []),
                 "text": raw.get("text", ""),
             })
         return collate(prepared, self.max_targets, self.w_max, self.h_quant)
 
+    def _put(self, item) -> bool:
+        """Bounded put that re-checks _stop so stop() can unblock a
+        worker stuck on a full queue."""
+        while not self._stop:
+            try:
+                self._queue.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self):
         while not self._stop:
             try:
-                self._queue.put(self._make_batch())
+                if not self._put(self._make_batch()):
+                    return
             except StopIteration:
-                self._queue.put(None)
+                self._put(None)
                 return
             except Exception as exc:  # surface errors to the consumer
-                self._queue.put(exc)
+                self._put(exc)
                 return
 
     def __iter__(self) -> Iterator[Batch]:
@@ -219,3 +284,11 @@ class BucketBatcher:
 
     def stop(self):
         self._stop = True
+        # drain so a worker blocked in put() observes _stop and exits
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)

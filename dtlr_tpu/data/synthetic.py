@@ -134,6 +134,9 @@ class SyntheticLineGenerator:
         max_words: int = 30,
         fonts: Optional[Sequence[str]] = None,
         plain_background: bool = False,
+        font_sampler=None,
+        corpus_sampler=None,
+        reference_text_mode: bool = False,
     ):
         self.plain_background = plain_background
         self.charset = list(charset) if charset is not None else load_default_charset()
@@ -145,8 +148,47 @@ class SyntheticLineGenerator:
         if not self.fonts:
             raise RuntimeError("no .ttf fonts found for synthetic generation")
         self._font_ok: dict = {}
+        # category/ability font sampling + wikitext corpus (reference
+        # synthetic_lines_general.py:160-249,305-310); see fonts.py/corpus.py
+        self.font_sampler = font_sampler
+        self.corpus_sampler = corpus_sampler
+        self.reference_text_mode = reference_text_mode
+        if reference_text_mode or font_sampler is not None:
+            from .charset import DEFAULT_CHARSET_NO_ACCENT, load_default_charset as _l
+
+            na = [c for c in _l(DEFAULT_CHARSET_NO_ACCENT) if c in self.index]
+            self.charset_no_accent = na or self.charset
 
     # -- text sampling (reference synthetic_lines_general.py:163-249)
+    def _sample_text_reference(self):
+        """The reference's random_text two-mode draw
+        (synthetic_lines_general.py:160-183): 50% full charset, <=5 words
+        w/ symbol-able fonts; 50% no-accent charset, <=30 words w/
+        letters+numbers fonts. Word length 1-15, total capped at 100."""
+        from .fonts import ABILITY_NUMBERS, ABILITY_SYMBOLS
+
+        rng = self.rng
+        if self.corpus_sampler is not None and rng.integers(0, 2) == 0:
+            text = self.corpus_sampler.sample()
+            ability = ABILITY_SYMBOLS
+        else:
+            if rng.integers(1, 3) == 1:
+                cs, ability, max_w = self.charset, ABILITY_SYMBOLS, 5
+            else:
+                cs, ability, max_w = self.charset_no_accent, ABILITY_NUMBERS, 30
+            letters = [c for c in cs if c != " "]
+            words = []
+            for i in range(int(rng.integers(1, max_w + 1))):
+                words.append("".join(rng.choice(letters, int(rng.integers(1, 16)))))
+            text = " ".join(words)[:100]
+        text = "".join(c for c in text if c in self.index)
+        font = (
+            self.font_sampler.sample(ability)
+            if self.font_sampler is not None
+            else self.fonts[rng.integers(0, len(self.fonts))]
+        )
+        return (text.strip() or "a"), font
+
     def sample_text(self) -> str:
         rng = self.rng
         if self.corpus is not None and rng.random() < 0.7:
@@ -169,8 +211,11 @@ class SyntheticLineGenerator:
     def sample(self) -> SyntheticSample:
         rng = self.rng
         for _ in range(20):
-            text = self.sample_text()
-            font_path = self.fonts[rng.integers(0, len(self.fonts))]
+            if self.reference_text_mode or self.font_sampler is not None:
+                text, font_path = self._sample_text_reference()
+            else:
+                text = self.sample_text()
+                font_path = self.fonts[rng.integers(0, len(self.fonts))]
             try:
                 key = font_path
                 if key not in self._font_ok:

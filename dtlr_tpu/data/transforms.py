@@ -24,12 +24,36 @@ IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 def _interp_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Bilinear resize via PIL (matches torchvision Resize)."""
+    """Bilinear resize. Upscales go through the C++ host kernel when
+    built (runtime/native.cpp resize_bilinear_f32 — half-pixel bilinear,
+    identical to PIL's triangle filter when scaling up, and skips the
+    float->uint8 quantization round-trip). Downscales keep PIL, whose
+    triangle filter antialiases (area-average) like torchvision."""
+    h, w = img.shape[:2]
+    if out_h >= h and out_w >= w:
+        from ..runtime import native
+
+        out = native.resize_bilinear(np.ascontiguousarray(img, np.float32),
+                                     out_h, out_w)
+        if out is not None:
+            return out
     from PIL import Image
 
     pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
     pil = pil.resize((out_w, out_h), Image.BILINEAR)
     return np.asarray(pil, np.float32) / 255.0
+
+
+def normalize_boxes(boxes, h: int, w: int):
+    """Pixel xyxy -> normalized cxcywh (the box half of ``normalize``)."""
+    if boxes is None or len(boxes) == 0:
+        return boxes
+    b = boxes.astype(np.float32)
+    cx = (b[:, 0] + b[:, 2]) / 2 / w
+    cy = (b[:, 1] + b[:, 3]) / 2 / h
+    bw = (b[:, 2] - b[:, 0]) / w
+    bh = (b[:, 3] - b[:, 1]) / h
+    return np.stack([cx, cy, bw, bh], -1)
 
 
 def resize_min_side(img, boxes, size: int, max_size: int | None = 1333):
@@ -131,6 +155,98 @@ def instance_aware_erasing(rng, img, char_boxes, labels, space_label: int,
         if x1 > x0 and y1 > y0:
             img[y0:y1, x0:x1] = rng.random((y1 - y0, x1 - x0, 3), dtype=np.float32)
     return img
+
+
+def rotate_with_boxes(img, boxes, angle: float):
+    """Rotate image by ``angle`` degrees (expand, then resize back to the
+    original size) and rotate pixel-xyxy boxes to their axis-aligned hull
+    (reference sltransform.py:60-169 rotate/Rotate).
+
+    Returns (img, boxes) with the same conventions as the other
+    transforms here: float image (H, W, 3) in [0, 1], pixel xyxy boxes.
+    """
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    rot = pil.rotate(angle, expand=True)
+
+    rad = np.radians(angle)
+    a, b = np.cos(rad), np.sin(rad)
+    cx, cy = w / 2.0, h / 2.0
+    nw, nh = rot.size
+    # affine that maps original pixel coords into the expanded canvas
+    m = np.asarray(
+        [[a, b, (1 - a) * cx - b * cy + (nw / 2.0 - cx)],
+         [-b, a, b * cx + (1 - a) * cy + (nh / 2.0 - cy)]],
+        np.float64,
+    )
+    # default (bicubic) resample like the reference's resize((w, h))
+    out_img = np.asarray(rot.resize((w, h)), np.float32) / 255.0
+
+    if boxes is None or len(boxes) == 0:
+        return out_img, boxes
+    bx = np.asarray(boxes, np.float64)
+    x1, y1, x2, y2 = bx[:, 0], bx[:, 1], bx[:, 2], bx[:, 3]
+    corners = np.stack(
+        [np.stack([x1, y1], -1), np.stack([x2, y1], -1),
+         np.stack([x1, y2], -1), np.stack([x2, y2], -1)],
+        axis=1,
+    )  # (N, 4, 2)
+    ones = np.ones((*corners.shape[:2], 1))
+    rc = np.concatenate([corners, ones], -1) @ m.T  # (N, 4, 2)
+    mn, mx = rc.min(axis=1), rc.max(axis=1)
+    new = np.concatenate([mn, mx], -1)
+    # expanded canvas -> original size
+    new /= np.asarray([nw / w, nh / h, nw / w, nh / h])
+    new[:, [0, 2]] = np.clip(new[:, [0, 2]], 0, w)
+    new[:, [1, 3]] = np.clip(new[:, [1, 3]], 0, h)
+    return out_img, new.astype(np.float32)
+
+
+def crop_with_boxes(img, boxes, labels, region):
+    """Crop region (i, j, h, w); clamp boxes to the region and drop
+    zero-area ones (reference transforms.py:16-56 crop)."""
+    i, j, ch, cw = region
+    out = img[i : i + ch, j : j + cw]
+    if boxes is None or len(boxes) == 0:
+        return out, boxes, labels
+    b = np.asarray(boxes, np.float32) - np.asarray([j, i, j, i], np.float32)
+    b = b.reshape(-1, 2, 2)
+    b = np.minimum(b, np.asarray([cw, ch], np.float32))
+    b = np.clip(b, 0, None)
+    keep = np.all(b[:, 1] > b[:, 0], axis=1)
+    b = b.reshape(-1, 4)
+    return out, b[keep], (labels[keep] if labels is not None else None)
+
+
+def random_size_crop(rng, img, boxes, labels, min_size: int, max_size: int):
+    """reference transforms.py:175-185 RandomSizeCrop: random target w/h
+    in [min_size, min(dim, max_size)], uniform region."""
+    h, w = img.shape[:2]
+    cw = int(rng.integers(min_size, min(w, max_size) + 1)) if min(w, max_size) >= min_size else w
+    ch = int(rng.integers(min_size, min(h, max_size) + 1)) if min(h, max_size) >= min_size else h
+    cw, ch = min(cw, w), min(ch, h)
+    i = int(rng.integers(0, h - ch + 1))
+    j = int(rng.integers(0, w - cw + 1))
+    return crop_with_boxes(img, boxes, labels, (i, j, ch, cw))
+
+
+def scales2_chain(rng, img, boxes, labels, scales2_resize, scales2_crop,
+                  scales, max_size):
+    """The reference's alternate augmentation branch
+    (datasets/transforms.py RandomResize(scales2_resize) ->
+    RandomSizeCrop(*scales2_crop) -> RandomResize(scales, max_size);
+    live in datasets/coco.py:505-529, carried disabled in the text
+    datasets). Returns (img, boxes, labels)."""
+    size = int(scales2_resize[rng.integers(0, len(scales2_resize))])
+    img, boxes = resize_min_side(img, boxes, size, max_size=None)
+    img, boxes, labels = random_size_crop(
+        rng, img, boxes, labels, scales2_crop[0], scales2_crop[1]
+    )
+    size = int(scales[rng.integers(0, len(scales))])
+    img, boxes = resize_min_side(img, boxes, size, max_size=max_size)
+    return img, boxes, labels
 
 
 def adjust_brightness_contrast(rng, img, brightness=(0.8, 1.2), contrast=(0.8, 1.2)):

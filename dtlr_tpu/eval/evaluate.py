@@ -224,7 +224,8 @@ def main(argv=None):
             src(), batch_size=args.batch_size, scales=cfg.data_aug_scales,
             max_size=cfg.data_aug_max_size,
             max_targets=cfg.get_default("max_targets", 256),
-            w_max=cfg.get_default("image_w_max", 1344), train=False,
+            w_max=cfg.get_default("image_w_max", 1344),
+            h_max=cfg.get_default("image_h_max", None), train=False,
         ))
 
     trainer = Trainer(cfg, mode="ctc", output_dir=args.ckpt_dir, charset=charset)

@@ -73,6 +73,15 @@ def ctc_loss(
     per_seq = optax.ctc_loss(
         logprobs, logit_paddings, shifted, label_paddings, blank_id=0
     )
+    # optax log-softmaxes internally; the interleaved blank frames sum to
+    # exactly 1 + K*1e-5 (K true classes at 1e-5 + blank at 1.0), so optax
+    # scores every alignment lower than torch's unnormalized-log-prob
+    # CTCLoss by exactly (T/2)*log1p(K*1e-5) — every path visits each
+    # frame once and only the T/2 blank frames are unnormalized. Subtract
+    # that constant for exact reference semantics (parity-tested against
+    # reference SetCriterion.loss_CTC in test_torch_forward_parity.py).
+    K = pred_logits.shape[-1]
+    per_seq = per_seq - (T / 2) * jnp.log1p(K * 1e-5)
     # zero_infinity=True semantics (reference nn.CTCLoss(zero_infinity=True))
     per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)
     # torch CTCLoss(reduction='mean'): per-sequence loss / target_length,

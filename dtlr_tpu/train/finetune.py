@@ -134,6 +134,7 @@ def main(argv=None):
         max_size=cfg.data_aug_max_size,
         max_targets=cfg.get_default("max_targets", 256),
         w_max=cfg.get_default("image_w_max", 1344),
+        h_max=cfg.get_default("image_h_max", None),
         train=train, space_label=space_label, seed=seed,
     )
     train_batches = make_batcher(dataset_iter(train_ds), True, args.seed)

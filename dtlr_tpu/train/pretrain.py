@@ -64,10 +64,40 @@ def main(argv=None):
     plain = cfg.get_default("plain_background", False)
     max_words = cfg.get_default("synthetic_max_words", 30)
     if args.dataset_file == "synthetic_line_OCR_general":
-        train_src = build_dataset(args.dataset_file, "train", seed=args.seed,
-                                  plain_background=plain, max_words=max_words)
-        val_src = build_dataset(args.dataset_file, "val", seed=args.seed + 1,
-                                plain_background=plain, max_words=max_words)
+        # font category/ability sampling + wikitext corpus (reference
+        # synthetic_lines_general.py:185-249,305-310) — active when the
+        # config points at the assets, mechanisms fall back to system
+        # fonts / plain random text otherwise
+        def synth_kw(mode: str, seed: int) -> dict:
+            kw = dict(plain_background=plain, max_words=max_words, seed=seed)
+            font_dict = cfg.get_default("synthetic_font_dict", None)
+            if font_dict:
+                from ..data.fonts import FontSampler
+
+                kw["font_sampler"] = FontSampler.from_reference_json(
+                    font_dict,
+                    font_root=cfg.get_default("synthetic_font_root", ""),
+                    rng=__import__("numpy").random.default_rng(seed + 13),
+                )
+            corpus_dir = cfg.get_default("synthetic_corpus_dir", None)
+            if corpus_dir:
+                from ..data.corpus import CorpusSampler
+
+                kw["corpus_sampler"] = CorpusSampler.from_dir(
+                    corpus_dir,
+                    language=cfg.get_default("synthetic_language", "en"),
+                    mode=mode,
+                    rng=__import__("numpy").random.default_rng(seed + 17),
+                )
+            kw["reference_text_mode"] = cfg.get_default(
+                "synthetic_reference_text", False
+            )
+            return kw
+
+        train_src = build_dataset(args.dataset_file, "train",
+                                  **synth_kw("train", args.seed))
+        val_src = build_dataset(args.dataset_file, "val",
+                                **synth_kw("val", args.seed + 1))
         charset = train_src.charset
         train_iter, val_iter = iter(train_src), iter(val_src)
     elif args.dataset_file == "HWDB_synth":
@@ -86,6 +116,7 @@ def main(argv=None):
         max_size=cfg.data_aug_max_size,
         max_targets=cfg.get_default("max_targets", 256),
         w_max=cfg.get_default("image_w_max", 1344),
+        h_max=cfg.get_default("image_h_max", None),
         train=train,
         truly_random_erasing=cfg.get_default("truly_random_erasing", False),
         instance_erasing=cfg.get_default("truly_random_erasing", False),

@@ -24,5 +24,5 @@ exec python -m dtlr_tpu.train.pretrain \
   --steps_per_epoch 1000 --eval_every 1 --seed 0 \
   --options batch_size=8 use_ema=True warmup_steps=1000 \
     max_targets=64 'data_aug_scales=[128]' data_aug_max_size=1024 \
-    image_w_max=1024 synthetic_max_words=5 eval_set_size=200 \
+    image_w_max=1024 image_h_max=192 synthetic_max_words=5 eval_set_size=200 \
     save_checkpoint_interval=5 lr_drop=40

@@ -46,8 +46,10 @@ def test_collate_static_shapes():
     samples = []
     for _ in range(3):
         s = gen.sample()
-        img, bx = prepare_sample(rng, s.image, s.boxes, 480, 1333, train=True)
-        samples.append({"image": img, "boxes": bx, "labels": s.labels, "text": s.text})
+        img, bx, lab = prepare_sample(
+            rng, s.image, s.boxes, 480, 1333, train=True, labels=s.labels
+        )
+        samples.append({"image": img, "boxes": bx, "labels": lab, "text": s.text})
     batch = collate(samples, max_targets=64, w_max=1344, h_quant=64)
     B, H, W, C = batch.images.shape
     assert B == 3 and W == 1344 and H % 64 == 0 and C == 3
