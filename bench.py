@@ -2,11 +2,17 @@
 on the attached TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference repo publishes no numbers (BASELINE.md); the
-driver's north star is >=10x the reference GPU lines/sec. We report
-lines/sec/chip; vs_baseline uses a measured reference-GPU estimate of
-~10 lines/sec (single-image python eval loop, evaluation.py:477-499)
-until a real reference measurement lands in BASELINE.md.
+
+Baseline: the reference repo publishes no throughput numbers and this
+sandbox has no CUDA GPU, so vs_baseline anchors to the MEASURED
+reference-faithful configuration of THIS framework on THE SAME chip
+(per-head deformable encoder + deformable decoder CA, i.e. the
+reference's architecture translated 1:1): 13.8 lines/s/chip
+(PERFORMANCE.md, same scan-loop harness). External anchor, also
+measured: the reference torch stack itself on this host's CPU does
+0.109 lines/s (baseline_reference_cpu.json,
+scripts/measure_reference_cpu.py — batch=1 protocol of
+evaluation.py:477-499).
 """
 
 from __future__ import annotations
@@ -14,7 +20,10 @@ from __future__ import annotations
 import json
 import time
 
-REFERENCE_GPU_LINES_PER_SEC = 10.0  # placeholder; see module docstring
+# measured: reference-faithful dtlr_tpu config on the same v5e chip
+# (see module docstring; re-measure with scripts via decoder_ca=deform,
+# encoder_type=deformable, shared_offsets=False)
+REFERENCE_FAITHFUL_LINES_PER_SEC = 13.8
 
 
 def main():
@@ -80,7 +89,7 @@ def main():
         "metric": "line_inference_throughput",
         "value": round(lines_per_sec, 2),
         "unit": "lines/sec/chip (B=8, 128x1344, bf16)",
-        "vs_baseline": round(lines_per_sec / REFERENCE_GPU_LINES_PER_SEC, 2),
+        "vs_baseline": round(lines_per_sec / REFERENCE_FAITHFUL_LINES_PER_SEC, 2),
     }))
 
 
