@@ -22,7 +22,53 @@ _BG_POOL_SIZE = 48
 _BG_SIZE = (768, 448)  # (w, h) master backgrounds, cropped per request
 
 
+_BG_DIR: list = [None]
+
+
+def set_background_dir(path) -> None:
+    """Point the canvas at a real background-image pool (the reference's
+    resources/ folder semantics, generate_canva.py:94-136). None reverts
+    to procedural backgrounds. Clears the pool."""
+    _BG_DIR[0] = path
+    _BG_POOL.clear()
+
+
+def _load_background_image(rng: np.random.Generator, path: str) -> Image.Image:
+    """Reference background prep (generate_canva.py:94-136): load, resize
+    to the master size, random HSV hue shift (color blend), flip, blur."""
+    img = Image.open(path).convert("RGB").resize(_BG_SIZE, Image.BILINEAR)
+    if rng.random() < 0.5:  # BACKGROUND_COLOR_BLEND_FREQ
+        import colorsys
+
+        arr = np.asarray(img, np.float32) / 255.0
+        # cheap hue rotation without cv2: rotate RGB channels toward a
+        # random hue by matrix blend
+        hue = rng.uniform(0, 1)
+        r, g, b = colorsys.hsv_to_rgb(hue, 0.5, 1.0)
+        tint = np.asarray([r, g, b], np.float32)
+        arr = np.clip(arr * 0.6 + arr.mean(-1, keepdims=True) * tint * 0.4, 0, 1)
+        img = Image.fromarray((arr * 255).astype(np.uint8))
+    if rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    return img.filter(ImageFilter.GaussianBlur(rng.uniform(0.2, 1.5)))
+
+
 def _build_pool(rng: np.random.Generator):
+    if _BG_DIR[0]:
+        import glob as _glob
+        import os as _os
+
+        paths = sorted(
+            p
+            for ext in ("*.jpg", "*.jpeg", "*.png")
+            for p in _glob.glob(_os.path.join(_BG_DIR[0], "**", ext), recursive=True)
+        )
+        while paths and len(_BG_POOL) < _BG_POOL_SIZE:
+            p = paths[rng.integers(0, len(paths))]
+            try:
+                _BG_POOL.append(_load_background_image(rng, p))
+            except Exception:
+                paths.remove(p)
     while len(_BG_POOL) < _BG_POOL_SIZE:
         _BG_POOL.append(generate_background(rng, *_BG_SIZE))
 

@@ -181,6 +181,16 @@ def ctc_beam_search(
 _SKIP_WORD = re.compile(r"^[A-Z0-9\-]+$|\d|-")
 
 
+def _segment_greedy(labels: np.ndarray, charset: Sequence[str]) -> str:
+    """CTC-collapse a frame-label segment (blank=0, chars shifted +1)."""
+    out, prev = [], 0
+    for l in labels:
+        if l != 0 and l != prev:
+            out.append(charset[l - 1])
+        prev = l
+    return "".join(out)
+
+
 def rescore_line(
     frame_probs: np.ndarray,     # (T, K+1) x-sorted blank-synthesized probs
     greedy_text: str,
@@ -188,22 +198,45 @@ def rescore_line(
     lm: Optional[CharNgramLM],
     lm_weight: float = 0.25,
     beam: int = 16,
+    no_uppercase_words: bool = True,
+    no_digits: bool = False,
+    no_dash: bool = True,
 ) -> str:
-    """Per-word gated rescoring (reference prediction_helpers.py:125-224):
-    words that are all-uppercase or contain digits/dashes keep the
-    greedy output; other words are beam-decoded with the LM.
-
-    Simplified word alignment: the whole line is beam-decoded once and
-    words are swapped in only where the gate allows."""
+    """Per-word LM rescoring with frame-level word splits (reference
+    prediction_helpers.py get_word_per_word_pred_2 +
+    get_input_split_indices, :48-73 and :125-224): the frame sequence is
+    split at frames whose argmax is the space class; each word segment is
+    independently beam-decoded with the LM, except gated words (first
+    char uppercase / any digit / any dash keep the greedy output, as the
+    reference's no_uppercase_words/no_digits/no_dash flags do)."""
     if lm is None:
         return greedy_text
-    decoded = ctc_beam_search(frame_probs, charset, lm, lm_weight, beam)
-    g_words = greedy_text.split(" ")
-    d_words = decoded.split(" ")
-    if len(g_words) != len(d_words):
-        return decoded if not _SKIP_WORD.search(greedy_text) else greedy_text
-    out = [
-        g if _SKIP_WORD.search(g) else d
-        for g, d in zip(g_words, d_words)
-    ]
-    return " ".join(out)
+    labels = frame_probs.argmax(-1)
+    try:
+        space_cls = charset.index(" ") + 1
+    except ValueError:
+        return ctc_beam_search(frame_probs, charset, lm, lm_weight, beam)
+
+    split_at = [-1] + [int(t) for t in np.where(labels == space_cls)[0]] + [len(labels)]
+    pieces: list = []
+    for i in range(len(split_at) - 1):
+        s, e = split_at[i] + 1, split_at[i + 1]
+        if e > s:
+            seg = labels[s:e]
+            gtext = _segment_greedy(seg, charset)
+            first = next((charset[l - 1] for l in seg if l != 0), None)
+            gated = (
+                first is None
+                or (no_uppercase_words and first.isupper())
+                or (no_digits and first.isdigit())
+                or (no_dash and "-" in gtext)
+            )
+            if gated:
+                pieces.append(gtext)
+            else:
+                pieces.append(
+                    ctc_beam_search(frame_probs[s:e], charset, lm, lm_weight, beam)
+                )
+        if split_at[i + 1] < len(labels):
+            pieces.append(" ")
+    return "".join(pieces)

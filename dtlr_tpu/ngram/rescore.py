@@ -117,8 +117,14 @@ def main(argv=None):
         for b, text in enumerate(batch.texts):
             labs = greedy_labels(frames[b : b + 1])[0]
             greedy = labels_to_text(labs, charset)
-            rescored = rescore_line(probs[b], greedy, charset, lm,
-                                    lm_weight=lm_weight, beam=beam)
+            gate = bool(ycfg.get("skip_gated_words", True))
+            rescored = rescore_line(
+                probs[b], greedy, charset, lm,
+                lm_weight=lm_weight, beam=beam,
+                no_uppercase_words=gate and bool(ycfg.get("no_uppercase_words", True)),
+                no_digits=gate and bool(ycfg.get("no_digits", False)),
+                no_dash=gate and bool(ycfg.get("no_dash", True)),
+            )
             greedy_preds.append(greedy)
             lm_preds.append(rescored)
             gts.append(text)

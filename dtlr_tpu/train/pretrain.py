@@ -68,6 +68,12 @@ def main(argv=None):
         # synthetic_lines_general.py:185-249,305-310) — active when the
         # config points at the assets, mechanisms fall back to system
         # fonts / plain random text otherwise
+        bg_dir = cfg.get_default("synthetic_background_dir", None)
+        if bg_dir:
+            from ..data.canvas import set_background_dir
+
+            set_background_dir(bg_dir)
+
         def synth_kw(mode: str, seed: int) -> dict:
             kw = dict(plain_background=plain, max_words=max_words, seed=seed)
             font_dict = cfg.get_default("synthetic_font_dict", None)

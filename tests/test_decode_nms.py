@@ -138,3 +138,65 @@ def test_nms_decode_multiclass_query():
     # duplicate; use iou threshold > 1 to disable suppression
     labs = nms_decode(jnp.asarray(logits), jnp.asarray(boxes), 0.3, 1.1)
     assert labs[0] == [1, 2, 3] or labs[0] == [2, 1, 3]
+
+
+def test_rescore_line_per_word_gating():
+    """Per-word frame-split rescoring (reference prediction_helpers.py
+    get_word_per_word_pred_2): gated words keep greedy output, allowed
+    words get beam-decoded; spaces re-inserted at split frames."""
+    import numpy as np
+    from dtlr_tpu.ngram.lm_decode import CharNgramLM, rescore_line
+
+    charset = list("abcdefghijklmnopqrstuvwxyzABC- ")
+    space_cls = charset.index(" ") + 1
+
+    lm = CharNgramLM(order=3)
+    lm.fit(["the cat", "the hat", "the mat"] * 5)
+
+    def frames_for(text):
+        rows = []
+        for ch in text:
+            p = np.full(len(charset) + 1, 1e-6, np.float32)
+            p[charset.index(ch) + 1] = 1.0
+            rows.append(p)
+            b = np.full(len(charset) + 1, 1e-6, np.float32)
+            b[0] = 1.0
+            rows.append(b)
+        return np.stack(rows)
+
+    # "ABC cat": first word gated (uppercase), second decoded
+    probs = frames_for("ABC cat")
+    out = rescore_line(probs, "ABC cat", charset, lm, beam=8)
+    assert out.startswith("ABC ")
+    assert out.split(" ")[1] == "cat"
+
+    # dash word gated when no_dash
+    probs = frames_for("a-b cat")
+    out = rescore_line(probs, "a-b cat", charset, lm, beam=8, no_dash=True)
+    assert out.split(" ")[0] == "a-b"
+
+    # without an LM the greedy text passes through
+    assert rescore_line(probs, "a-b cat", charset, None) == "a-b cat"
+
+
+def test_canvas_background_dir(tmp_path):
+    """set_background_dir fills the pool from real images (reference
+    generate_canva.py:94-136 background-image pool semantics)."""
+    import numpy as np
+    from PIL import Image
+
+    from dtlr_tpu.data import canvas
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = np.full((100, 160, 3), 40 * (i + 1), np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"bg{i}.jpg")
+    try:
+        canvas.set_background_dir(str(tmp_path))
+        bg = canvas.pooled_background(rng, 120, 60)
+        assert bg.size == (120, 60)
+        # pooled crops must come from the dark test images, not the
+        # bright procedural paper tones
+        assert np.asarray(bg).mean() < 160
+    finally:
+        canvas.set_background_dir(None)
