@@ -269,6 +269,7 @@ class Trainer:
         batch's detections to <output_dir>/snapshots (reference
         engine.py:405-409 save_snapchot)."""
         preds, gts = [], []
+        nms_preds: List[str] = []
         losses = []
         params = (
             self.state.ema_params
@@ -304,8 +305,19 @@ class Trainer:
             for labs, text in zip(greedy_labels(frames), batch.texts):
                 preds.append(labels_to_text(labs, charset))
                 gts.append(text)
+            # NMS decode at the reference's IAM operating point (TH 0.3,
+            # NMS 0.5, scripts/evaluating/IAM.sh): during detection
+            # pretraining this tracks recognition quality long before the
+            # greedy blank-synthesis decode exits its garbage-emission
+            # phase (background queries still emit under greedy argmax)
+            from ..eval.decode import nms_decode
+
+            for labs in nms_decode(out["pred_logits"], out["pred_boxes"],
+                                   score_threshold=0.3, nms_iou=0.5):
+                nms_preds.append(labels_to_text(labs, charset))
         stats = {
             "cer": corpus_cer(preds, gts),
+            "nms_cer": corpus_cer(nms_preds, gts),
             "wer": corpus_wer(preds, gts),
             "loss_CTC": float(np.mean(losses)) if losses else float("nan"),
             "n": len(preds),
