@@ -19,11 +19,11 @@ export PYTHONPATH="$SNAP:${PYTHONPATH:-}"
 OUT=/root/repo/outputs/finetune_noaccent
 COMMON_OPTS="batch_size=8 max_targets=64 'data_aug_scales=[128]' \
   data_aug_max_size=1024 image_w_max=1024 image_h_max=192 \
-  synthetic_max_words=5 synthetic_charset=no_accent"
+  synthetic_max_words=5 synthetic_charset=no_accent eval_epoch=1"
 
 # stage 1: fresh class heads + smart mapping, heads-only optimizer
 eval python -m dtlr_tpu.train.finetune \
-  -c "$SNAP/dtlr_tpu/configs/Latin_CTC.py" \
+  -c "$SNAP/dtlr_tpu/configs/Latin_CTC_TPU.py" \
   --dataset_file synthetic --pretrain_dir "$PRE" \
   --output_dir "$OUT" --new_class_embedding --smart_mapping \
   --epochs 1 --seed 3 \
@@ -31,7 +31,7 @@ eval python -m dtlr_tpu.train.finetune \
 
 # stage 2: resume, full model
 eval python -m dtlr_tpu.train.finetune \
-  -c "$SNAP/dtlr_tpu/configs/Latin_CTC.py" \
+  -c "$SNAP/dtlr_tpu/configs/Latin_CTC_TPU.py" \
   --dataset_file synthetic --output_dir "$OUT" \
   --resume_finetuning --epochs 2 --seed 4 \
   --options max_iterations=$S2 $COMMON_OPTS
