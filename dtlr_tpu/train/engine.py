@@ -43,6 +43,17 @@ def batch_to_arrays(batch: Batch) -> Dict[str, np.ndarray]:
     }
 
 
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 class Trainer:
     def __init__(
         self,
@@ -161,6 +172,15 @@ class Trainer:
         self._eval_fn = make_eval_step(self.model.apply, cfg.get_default("ctc_eps", 0.003))
 
     # ------------------------------------------------------------ loops
+    def stop_if_rss_above(self, limit_gb: float) -> bool:
+        """True (and logs) if host RSS exceeds limit_gb — callers exit
+        cleanly so an outer restart loop resumes from the checkpoint."""
+        rss = _rss_gb()
+        if rss > limit_gb:
+            self.logger.info(f"host RSS {rss:.1f}G > {limit_gb}G — restarting")
+            return True
+        return False
+
     def train_epoch(
         self,
         batches: Iterable[Batch],
@@ -214,7 +234,17 @@ class Trainer:
                 self.logger.info(
                     f"epoch {self.epoch} it {i}: "
                     + " ".join(f"{k}={v:.4f}" for k, v in host.items())
+                    + f" rss={_rss_gb():.1f}G"
                 )
+                # the tunneled axon PJRT client leaks host staging
+                # buffers roughly at the input-transfer rate (a 110-min
+                # batch-8 run grew to 130 GB RSS and was host-OOM
+                # killed); collect cycles promptly and let the restart
+                # loop (scripts/bigrun_pretrain.sh) handle the rest via
+                # per-epoch checkpoints + auto-resume
+                import gc
+
+                gc.collect()
         dt = time.time() - t0
         stats = {k: m.global_avg for k, m in mlog.meters.items()}
         stats["epoch_time"] = dt

@@ -155,6 +155,7 @@ def main(argv=None):
 
     use_ema = cfg.get_default("use_ema", False)
     save_int = cfg.get_default("save_checkpoint_interval", 100)
+    rss_limit = float(cfg.get_default("rss_restart_gb", 0.0))
     for epoch in range(trainer.epoch, cfg.epochs):
         stats = trainer.train_epoch(
             iter(train_batches), max_iterations=args.steps_per_epoch,
@@ -170,6 +171,10 @@ def main(argv=None):
                 # (main_synthetic.py:447-463)
                 trainer.evaluate_ctc(eval_batches(), charset,
                                      use_ema=True, tag="eval_ema")
+        if rss_limit > 0 and trainer.stop_if_rss_above(rss_limit):
+            # axon client host-buffer leak: exit 3 after the checkpoint;
+            # an outer restart loop resumes (scripts/bigrun_pretrain.sh)
+            raise SystemExit(3)
 
 
 if __name__ == "__main__":

@@ -10,19 +10,32 @@
 #
 # The package is snapshotted to /tmp/bigrun_src so concurrent repo work
 # cannot perturb lazily-imported modules mid-run.
-set -e
+set -u
 SNAP=/tmp/bigrun_src
 rm -rf "$SNAP" && mkdir -p "$SNAP"
 cp -r /root/repo/dtlr_tpu "$SNAP/"
 cd "$SNAP"
 # keep the axon PJRT plugin path (clobbering it hides the TPU backend)
 export PYTHONPATH="$SNAP:${PYTHONPATH:-}"
-exec python -m dtlr_tpu.train.pretrain \
-  -c "$SNAP/dtlr_tpu/configs/Latin_TPU.py" \
-  --dataset_file synthetic_line_OCR_general \
-  --output_dir /root/repo/outputs/bigrun \
-  --steps_per_epoch 1000 --eval_every 1 --seed 0 \
-  --options batch_size=8 use_ema=True warmup_steps=1000 \
-    max_targets=64 'data_aug_scales=[128]' data_aug_max_size=1024 \
-    image_w_max=1024 image_h_max=192 synthetic_max_words=5 eval_set_size=200 \
-    save_checkpoint_interval=5 lr_drop=40
+EPOCHS=${BIGRUN_EPOCHS:-16}
+
+# restart loop: the axon PJRT client leaks host staging buffers at the
+# input-transfer rate (a 110-min run reached 130 GB RSS and was
+# host-OOM killed). The trainer checkpoints per epoch and exits 3 when
+# RSS crosses rss_restart_gb; auto-resume continues from the checkpoint.
+while :; do
+  python -m dtlr_tpu.train.pretrain \
+    -c "$SNAP/dtlr_tpu/configs/Latin_TPU.py" \
+    --dataset_file synthetic_line_OCR_general \
+    --output_dir /root/repo/outputs/bigrun \
+    --steps_per_epoch 1000 --eval_every 1 --seed 0 \
+    --epochs "$EPOCHS" \
+    --options batch_size=8 use_ema=True warmup_steps=1000 \
+      max_targets=64 'data_aug_scales=[128]' data_aug_max_size=1024 \
+      image_w_max=1024 image_h_max=192 synthetic_max_words=5 eval_set_size=200 \
+      save_checkpoint_interval=5 lr_drop=40 rss_restart_gb=60
+  code=$?
+  [ "$code" -eq 0 ] && break       # reached target epochs
+  [ "$code" -eq 3 ] || sleep 10    # 3 = planned RSS restart
+  echo "[bigrun loop] restarting after exit $code"
+done
