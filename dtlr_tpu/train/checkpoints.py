@@ -78,6 +78,62 @@ def restore_raw(ckpt_dir: str, step: Optional[int] = None) -> Optional[Dict[str,
     return out
 
 
+# ------------------------------------------------------- npz param snapshots
+#
+# Orbax checkpoint dirs live under gitignored outputs/ and die with the
+# sandbox VM; a single compressed .npz of the params pytree is small
+# enough to commit, which is how pretrained weights survive across
+# build rounds. Flat keys are '/'-joined pytree paths.
+
+
+def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        elif v is not None:
+            out[key] = np.asarray(v)
+    return out
+
+
+def export_params_npz(state_or_params: Dict[str, Any], out_path: str,
+                      dtype: Optional[str] = "float16") -> int:
+    """Write a model-variables pytree (or a train state carrying one
+    under 'params' next to 'opt_state') to one compressed .npz; returns
+    the file size in bytes. ``dtype`` downcasts floating leaves for size
+    (float16 keeps ~3 decimal digits — enough to warm-start finetuning;
+    pass None to keep exact dtypes). load_params_npz returns exactly the
+    pytree that was passed here (post-cast)."""
+    tree = state_or_params
+    if "opt_state" in tree and "params" in tree:  # a train state, not variables
+        tree = tree["params"]
+    flat = _flatten(tree)
+    if dtype is not None:
+        cast = np.dtype(dtype)
+        flat = {k: (v.astype(cast) if np.issubdtype(v.dtype, np.floating) else v)
+                for k, v in flat.items()}
+    np.savez_compressed(out_path, **flat)
+    return os.path.getsize(out_path)
+
+
+def load_params_npz(path: str, dtype: str = "float32") -> Dict[str, Any]:
+    """Inverse of export_params_npz: nested params pytree, floating
+    leaves cast to ``dtype`` (training wants fp32 master weights)."""
+    out: Dict[str, Any] = {}
+    with np.load(path) as npz:
+        for key in npz.files:
+            arr = npz[key]
+            if np.issubdtype(arr.dtype, np.floating):
+                arr = arr.astype(dtype)
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(arr)
+    return out
+
+
 # ---------------------------------------------------------------- surgery
 
 def smart_mapping_rows(old_charset: Sequence[str], new_charset: Sequence[str]) -> np.ndarray:

@@ -146,15 +146,21 @@ def main(argv=None):
 
     stage1 = not args.resume_finetuning
     if stage1 and args.pretrain_dir:
-        # load pretrain params (strict=False analog: restore what matches)
-        pre = ckpt_lib.restore_checkpoint(
-            os.path.join(args.pretrain_dir, "checkpoint"),
-            {"params": params, "opt_state": None, "step": 0, "ema_params": None,
-             "epoch": 0},
-        )
-        if pre is not None:
-            params = pre["params"]
-            trainer.logger.info(f"loaded pretrain params from {args.pretrain_dir}")
+        if args.pretrain_dir.endswith(".npz"):
+            # committed params snapshot (survives the sandbox VM wipe;
+            # see checkpoints.export_params_npz)
+            params = ckpt_lib.load_params_npz(args.pretrain_dir)
+            trainer.logger.info(f"loaded pretrain params snapshot {args.pretrain_dir}")
+        else:
+            # load pretrain params (strict=False analog: restore what matches)
+            pre = ckpt_lib.restore_checkpoint(
+                os.path.join(args.pretrain_dir, "checkpoint"),
+                {"params": params, "opt_state": None, "step": 0, "ema_params": None,
+                 "epoch": 0},
+            )
+            if pre is not None:
+                params = pre["params"]
+                trainer.logger.info(f"loaded pretrain params from {args.pretrain_dir}")
         if args.new_class_embedding:
             old_charset = (
                 load_default_charset() if args.path_old_charset is None

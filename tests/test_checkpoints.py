@@ -67,3 +67,34 @@ def test_surgery_class_heads():
     np.testing.assert_array_equal(np.asarray(p["label_enc"][0]), np.asarray(old_emb[2]))
     np.testing.assert_array_equal(np.asarray(p["label_enc"][2]), np.asarray(old_emb[0]))
     assert p["label_enc"].shape == (3 + 2, D)
+
+
+def test_params_npz_roundtrip(tmp_path):
+    from dtlr_tpu.train.checkpoints import export_params_npz, load_params_npz
+
+    variables = {
+        "params": {
+            "backbone": {"conv": {"kernel": jnp.arange(12.0).reshape(3, 4)}},
+            "head": {"fc": {"kernel": jnp.ones((4, 2)), "bias": jnp.zeros((2,))}},
+            "steps": jnp.asarray(5, jnp.int32),  # non-float leaf kept exact
+        }
+    }
+    path = str(tmp_path / "snap.npz")
+
+    # exact fp32 roundtrip
+    export_params_npz(variables, path, dtype=None)
+    out = load_params_npz(path)
+    assert jax.tree.structure(out) == jax.tree.structure(variables)
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert out["params"]["steps"].dtype == jnp.int32
+
+    # train-state input strips to its variables; fp16 cast roundtrips
+    # back to fp32 within half precision
+    state = {"params": variables, "opt_state": {"x": jnp.ones(3)}, "step": 9}
+    export_params_npz(state, path, dtype="float16")
+    out = load_params_npz(path)
+    assert jax.tree.structure(out) == jax.tree.structure(variables)
+    kern = out["params"]["backbone"]["conv"]["kernel"]
+    assert kern.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(kern), np.arange(12.0).reshape(3, 4), rtol=1e-3)
