@@ -67,13 +67,30 @@ def restore_checkpoint(ckpt_dir: str, template: Dict[str, Any],
 
 
 def restore_raw(ckpt_dir: str, step: Optional[int] = None) -> Optional[Dict[str, Any]]:
-    """Template-free restore: returns the checkpoint exactly as saved."""
+    """Template-free restore: returns the checkpoint exactly as saved.
+
+    A checkpoint written on one platform records its device shardings;
+    restoring it template-free on another platform (e.g. TPU-trained
+    checkpoint read on the CPU host for an npz snapshot) raises
+    ValueError('Device ... not found'). Fall back to an abstract
+    ShapeDtypeStruct template built from the checkpoint metadata, which
+    restores onto the current default device."""
     mgr = _manager(ckpt_dir)
     step = step if step is not None else mgr.latest_step()
     if step is None:
         mgr.close()
         return None
-    out = mgr.restore(step, args=ocp.args.StandardRestore())
+    try:
+        out = mgr.restore(step, args=ocp.args.StandardRestore())
+    except ValueError:
+        meta = mgr.item_metadata(step)
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        template = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding)
+            if hasattr(m, "shape") and hasattr(m, "dtype") else m,
+            meta,
+        )
+        out = mgr.restore(step, args=ocp.args.StandardRestore(template))
     mgr.close()
     return out
 

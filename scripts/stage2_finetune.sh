@@ -8,8 +8,8 @@
 # Usage: bash scripts/stage2_finetune.sh <pretrain_dir> [steps1] [steps2]
 set -e
 PRE=${1:-/root/repo/outputs/bigrun}
-S1=${2:-800}
-S2=${3:-1500}
+S1=${2:-1500}
+S2=${3:-4000}
 SNAP=/tmp/stage2_src
 rm -rf "$SNAP" && mkdir -p "$SNAP"
 cp -r /root/repo/dtlr_tpu "$SNAP/"
