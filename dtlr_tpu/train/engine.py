@@ -401,11 +401,26 @@ class Trainer:
             return True
         if restored is None:
             return False
+        # restore_checkpoint's template-free fallback returns opt_state
+        # as raw containers (optax NamedTuples don't survive), so a
+        # stage switch (head-only -> full optimizer) arrives here
+        # instead of raising above. Detect the structure change and keep
+        # the fresh optimizer state (reference finetuning.py:537-539
+        # builds a new optimizer for stage 2).
+        opt_state = restored["opt_state"]
+        same_structure = jax.tree.structure(opt_state) == jax.tree.structure(
+            self.state.opt_state
+        )
+        if not same_structure:
+            self.logger.info(
+                f"resumed params-only from {path} (optimizer state "
+                f"structure changed between stages)"
+            )
         self.state = TrainState(
             params=restored["params"],
-            opt_state=restored["opt_state"],
+            opt_state=opt_state if same_structure else self.state.opt_state,
             step=jnp.asarray(restored["step"]),
-            ema_params=restored["ema_params"],
+            ema_params=restored["ema_params"] if same_structure else self.state.ema_params,
         )
         self.epoch = int(restored["epoch"])
         self.logger.info(f"auto-resumed from {path} at epoch {self.epoch}")
