@@ -320,7 +320,18 @@ class Trainer:
                     logits = np.asarray(out["pred_logits"][0])
                     boxes = np.asarray(out["pred_boxes"][0])
                     scores = 1 / (1 + np.exp(-logits.max(-1)))
+                    # draw everything above the reference's TH=0.3, or
+                    # the top-40 queries when nothing clears it yet
+                    # (early pretraining: all-identical GT-only pngs
+                    # carry no signal)
                     keep = scores > 0.3
+                    if not keep.any():
+                        keep = np.zeros_like(keep)
+                        keep[np.argsort(scores)[-40:]] = True
+                    gt_boxes = None
+                    if getattr(batch, "boxes", None) is not None:
+                        gt_valid = np.asarray(batch.valid[0], bool)
+                        gt_boxes = np.asarray(batch.boxes[0])[gt_valid]
                     save_snapshot(
                         os.path.join(self.output_dir, "snapshots"),
                         self.epoch,
@@ -329,6 +340,7 @@ class Trainer:
                         logits.argmax(-1)[keep],
                         charset,
                         valid_hw=batch.valid_hw[0],
+                        gt_boxes=gt_boxes,
                     )
                 except Exception as exc:  # snapshots must never kill eval
                     self.logger.info(f"snapshot failed: {exc}")

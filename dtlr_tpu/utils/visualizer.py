@@ -66,9 +66,8 @@ def save_snapshot(
     os.makedirs(out_dir, exist_ok=True)
     pil = draw_boxes(image, pred_boxes, pred_labels, charset, valid_hw)
     if gt_boxes is not None and len(gt_boxes):
-        from PIL import ImageDraw
-
-        draw_boxes(np.asarray(pil), gt_boxes, valid_hw=valid_hw, color=(40, 120, 255))
+        pil = draw_boxes(np.asarray(pil), gt_boxes, valid_hw=valid_hw,
+                         color=(40, 120, 255))
     path = os.path.join(out_dir, f"snapshot_epoch{epoch:04d}.png")
     pil.save(path)
     return path
