@@ -20,3 +20,17 @@ encoder_win = 32
 # B=8 flagship forward (222 vs 97 lines/s/chip). Set to "deform" for the
 # reference-faithful decoder.
 decoder_ca = "dense"
+
+# ship raw uint8 pixels to the device and normalize there (ops/pixels.py):
+# 4x smaller tunnel transfers, 4x slower axon host-buffer leak; semantics
+# identical to the host-normalized f32 path.
+transfer_uint8 = True
+
+# synthetic-sample reuse economy: the reference renders 5000 lines per
+# epoch and sweeps them ~10x per epoch (reference main_synthetic.py:383);
+# reuse=4 reproduces that on the 1-core host (fresh augmentation per use).
+synthetic_reuse = 4
+
+# persistent XLA compilation cache (restarts re-jit from disk instead of
+# paying the 5-10 min tunnel compile again)
+compilation_cache_dir = "/root/repo/outputs/xla_cache"

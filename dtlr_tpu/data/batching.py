@@ -122,19 +122,27 @@ def collate(
     h_quant: int = 64,
     pad_value: float = 0.0,
     normalize_pixels: bool = True,
+    as_uint8: bool = False,
 ) -> Batch:
     """samples: dicts with image (H,W,3) raw [0,1] float32 (ImageNet
     normalization is fused into the padded-buffer write here, via the
     C++ normalize_into when built), boxes (n,4) cxcywh normalized or
     None, labels (n,), text. Pass normalize_pixels=False for
-    already-normalized images."""
+    already-normalized images.
+
+    ``as_uint8`` ships raw uint8 pixels instead (4x smaller host->device
+    transfer); normalization then happens on device (ops/pixels.py
+    prep_images), with identical semantics."""
     from ..runtime import native
 
     B = len(samples)
     hmax = _round_up(max(s["image"].shape[0] for s in samples), h_quant)
     wmax = w_max
 
-    images = np.full((B, hmax, wmax, 3), pad_value, np.float32)
+    if as_uint8:
+        images = np.zeros((B, hmax, wmax, 3), np.uint8)
+    else:
+        images = np.full((B, hmax, wmax, 3), pad_value, np.float32)
     valid_hw = np.zeros((B, 2), np.int32)
     labels = np.zeros((B, max_targets), np.int32)
     boxes = np.zeros((B, max_targets, 4), np.float32)
@@ -146,7 +154,10 @@ def collate(
         if w > wmax:  # safety: crop overly wide images
             img = img[:, :wmax]
             w = wmax
-        if not normalize_pixels:
+        if as_uint8:
+            np.clip(img * 255.0 + 0.5, 0, 255, out=img)
+            images[i, :h, :w] = img.astype(np.uint8)
+        elif not normalize_pixels:
             images[i, :h, :w] = img
         elif not native.normalize_into(
             np.ascontiguousarray(img, np.float32), images[i]
@@ -194,6 +205,9 @@ class BucketBatcher:
         h_max: Optional[int] = None,
         seed: int = 0,
         prefetch: int = 4,
+        transfer_uint8: bool = False,
+        reuse: int = 1,
+        reuse_pool: int = 512,
     ):
         self.rotate_p = rotate_p
         self.rotate_angle = rotate_angle
@@ -213,6 +227,18 @@ class BucketBatcher:
         self.space_label = space_label
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.transfer_uint8 = transfer_uint8
+        # Sample reuse: the reference regenerates 5000 synthetic lines
+        # per epoch and sweeps them ~10x within the epoch
+        # (reference main_synthetic.py:383 + epoch loop), i.e. each
+        # rendered line is seen multiple times with fresh augmentation.
+        # ``reuse`` > 1 reproduces that economy on the 1-core host: each
+        # fresh sample enters a bounded pool and each batch slot draws a
+        # fresh sample with probability 1/reuse, otherwise a pooled one
+        # (augmentation in prepare_sample still differs every time).
+        self.reuse = max(1, int(reuse))
+        self._pool: List[dict] = []
+        self._pool_cap = int(reuse_pool)
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._thread: Optional[threading.Thread] = None
         self._stop = False
@@ -221,7 +247,19 @@ class BucketBatcher:
         scale = int(self.rng.choice(self.scales)) if self.train else self.scales[-1]
         prepared = []
         while len(prepared) < self.batch_size:
-            raw = next(self.source)
+            if (
+                self.reuse > 1
+                and self._pool
+                and self.rng.random() > 1.0 / self.reuse
+            ):
+                raw = self._pool[int(self.rng.integers(len(self._pool)))]
+            else:
+                raw = next(self.source)
+                if self.reuse > 1:
+                    if len(self._pool) < self._pool_cap:
+                        self._pool.append(raw)
+                    else:
+                        self._pool[int(self.rng.integers(self._pool_cap))] = raw
             img, bx, lab = prepare_sample(
                 self.rng,
                 raw["image"],
@@ -245,7 +283,8 @@ class BucketBatcher:
                 "labels": lab if lab is not None else raw.get("labels", []),
                 "text": raw.get("text", ""),
             })
-        return collate(prepared, self.max_targets, self.w_max, self.h_quant)
+        return collate(prepared, self.max_targets, self.w_max, self.h_quant,
+                       as_uint8=self.transfer_uint8)
 
     def _put(self, item) -> bool:
         """Bounded put that re-checks _stop so stop() can unblock a

@@ -226,6 +226,7 @@ def main(argv=None):
             max_targets=cfg.get_default("max_targets", 256),
             w_max=cfg.get_default("image_w_max", 1344),
             h_max=cfg.get_default("image_h_max", None), train=False,
+            transfer_uint8=cfg.get_default("transfer_uint8", False),
         ))
 
     trainer = Trainer(cfg, mode="ctc", output_dir=args.ckpt_dir, charset=charset)
@@ -245,12 +246,23 @@ def main(argv=None):
         else [(args.TH, args.NMS)]
     )
     best = None
+    empty_th = None  # lowest TH at which every prediction came out empty
     for th, nms in grid:
+        if empty_th is not None and th >= empty_th:
+            # emptiness is monotone in TH (NMS only filters further), so
+            # once a TH yields all-empty predictions every higher TH
+            # will too — skip instead of burning a full eval pass per
+            # grid point on identical CER-1.0 rows (round-2 weak #3)
+            trainer.logger.info(
+                f"skip TH={th} NMS={nms}: all preds empty at TH={empty_th}")
+            continue
         pt, pl, gt, gl, dets = run_eval(
             trainer, make_batches(), charset, token_based, nms, th,
             args.max_images, collect_detections=args.dump_detections,
             num_select=int(cfg.get_default("num_select", 300)),
         )
+        if th > 0 and all(len(p) == 0 for p in pt):
+            empty_th = th
         stats = compute_stats(args.metrics, pt, pl, gt, gl)
         key = next(iter(stats))
         rec = {"TH": th, "NMS": nms, **stats}

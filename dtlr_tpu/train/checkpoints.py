@@ -106,10 +106,19 @@ def restore_raw(ckpt_dir: str, step: Optional[int] = None) -> Optional[Dict[str,
 def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     for k, v in tree.items():
+        if "/" in str(k):
+            # '/' is the flat-key separator; a key containing it would
+            # silently split into a different tree on load
+            raise ValueError(f"param key {k!r} contains '/'")
         key = f"{prefix}/{k}" if prefix else str(k)
         if isinstance(v, dict):
             out.update(_flatten(v, key))
-        elif v is not None:
+        elif v is None:
+            raise ValueError(
+                f"param tree leaf {key!r} is None — npz cannot represent "
+                "it, so the roundtrip invariant would break silently"
+            )
+        else:
             out[key] = np.asarray(v)
     return out
 
@@ -121,7 +130,10 @@ def export_params_npz(state_or_params: Dict[str, Any], out_path: str,
     the file size in bytes. ``dtype`` downcasts floating leaves for size
     (float16 keeps ~3 decimal digits — enough to warm-start finetuning;
     pass None to keep exact dtypes). load_params_npz returns exactly the
-    pytree that was passed here (post-cast)."""
+    pytree that was passed here (post-cast); note load_params_npz itself
+    casts every floating leaf to its ``dtype`` argument (fp32 default),
+    so non-fp32 float leaves only roundtrip bit-exactly when the load
+    dtype matches."""
     tree = state_or_params
     if "opt_state" in tree and "params" in tree:  # a train state, not variables
         tree = tree["params"]

@@ -68,6 +68,21 @@ class Trainer:
         self.mode = mode
         self.output_dir = output_dir
         self.logger = setup_logger(output_dir)
+        # persistent XLA compilation cache: full-model compiles cost
+        # 5-10 min on the tunneled backend and the RSS-leak watchdog
+        # restarts the process several times per long run — a disk cache
+        # turns every restart's re-jit into a cache load
+        cache_dir = cfg.get_default(
+            "compilation_cache_dir", os.environ.get("DTLR_COMPILE_CACHE", "")
+        )
+        if cache_dir:
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+                jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+                self.logger.info(f"compilation cache: {cache_dir}")
+            except Exception as exc:
+                self.logger.info(f"compilation cache unavailable: {exc}")
         self.charset = charset
         self.seed = seed
         if mesh is not None:
@@ -128,9 +143,12 @@ class Trainer:
         # jit the init: unjitted flax init dispatches each op separately,
         # which is pathologically slow on remote/tunneled devices
         mode_det = self.mode == "detection"
+        from ..ops.pixels import prep_images
+
         init = jax.jit(
             lambda r, im, vh, tg: self.model.init(
-                {"params": r, "dn": r}, im, vh, tg if mode_det else None,
+                {"params": r, "dn": r}, prep_images(im, vh), vh,
+                tg if mode_det else None,
                 train=mode_det,
             )
         )
@@ -263,12 +281,15 @@ class Trainer:
 
         cfg = self.cfg
 
+        from ..ops.pixels import prep_images
+
         @jax.jit
         def eval_step(params, batch):
             targets = {"labels": batch["labels"], "boxes": batch["boxes"],
                        "valid": batch["valid"]}
             outputs = self.model.apply(
-                params, batch["images"], batch["valid_hw"], None, train=False
+                params, prep_images(batch["images"], batch["valid_hw"]),
+                batch["valid_hw"], None, train=False
             )
             total, losses = detection_loss(
                 outputs, targets, cfg.num_classes, self.weight_dict,
@@ -301,6 +322,10 @@ class Trainer:
         preds, gts = [], []
         nms_preds: List[str] = []
         losses = []
+        max_confs: List[float] = []          # per-image max sigmoid score
+        th_grid = (0.05, 0.1, 0.2, 0.3)
+        th_counts = {t: 0 for t in th_grid}  # queries above TH, summed
+        n_images = 0
         params = (
             self.state.ema_params
             if use_ema and self.state.ema_params is not None
@@ -312,6 +337,17 @@ class Trainer:
             arrays = shard_batch(self.mesh, batch_to_arrays(batch))
             out = self._eval_fn(params, arrays)
             losses.append(float(out["loss_CTC"]))
+            # degenerate-decode observability: during detection
+            # pretraining the failure mode is a confidence ceiling (all
+            # sigmoid scores below every decode TH -> CER silently 1.0);
+            # track the score distribution so the run log shows the
+            # ceiling rising (round-2 verdict weak #3)
+            batch_logits = np.asarray(out["pred_logits"], np.float32)
+            scores = 1.0 / (1.0 + np.exp(-batch_logits.max(-1)))  # (B, Q)
+            max_confs.extend(scores.max(-1).tolist())
+            for t in th_grid:
+                th_counts[t] += int((scores > t).sum())
+            n_images += scores.shape[0]
             frames = greedy_decode(out["pred_logits"], out["pred_boxes"])
             if i == 0 and snapshot:
                 try:
@@ -328,10 +364,14 @@ class Trainer:
                     if not keep.any():
                         keep = np.zeros_like(keep)
                         keep[np.argsort(scores)[-40:]] = True
-                    gt_boxes = None
-                    if getattr(batch, "boxes", None) is not None:
-                        gt_valid = np.asarray(batch.valid[0], bool)
-                        gt_boxes = np.asarray(batch.boxes[0])[gt_valid]
+                    # collate zero-fills boxes even for box-free
+                    # datasets, so gate on boxes actually having extent
+                    # rather than on attribute presence
+                    gt_valid = np.asarray(batch.valid[0], bool)
+                    gt_boxes = np.asarray(batch.boxes[0])[gt_valid]
+                    gt_boxes = gt_boxes[(gt_boxes[:, 2] > 0) & (gt_boxes[:, 3] > 0)]
+                    if len(gt_boxes) == 0:
+                        gt_boxes = None
                     save_snapshot(
                         os.path.join(self.output_dir, "snapshots"),
                         self.epoch,
@@ -363,6 +403,10 @@ class Trainer:
             "wer": corpus_wer(preds, gts),
             "loss_CTC": float(np.mean(losses)) if losses else float("nan"),
             "n": len(preds),
+            "max_conf": float(np.max(max_confs)) if max_confs else 0.0,
+            "mean_max_conf": float(np.mean(max_confs)) if max_confs else 0.0,
+            **{f"nq@{t}": round(th_counts[t] / max(n_images, 1), 2)
+               for t in th_grid},
         }
         self.logger.info(f"{tag}: {stats}")
         append_log_line(self.output_dir, {"epoch": self.epoch, tag: stats})
@@ -399,11 +443,15 @@ class Trainer:
             )
             if restored is None:
                 return False
+            # seed EMA from the *restored* params, not the init-time
+            # EMA: blending random-init weights into the EMA would
+            # poison EMA evals for thousands of steps after the switch
             self.state = TrainState(
                 params=restored["params"],
                 opt_state=self.state.opt_state,
                 step=jnp.asarray(restored["step"]),
-                ema_params=self.state.ema_params,
+                ema_params=(jax.tree.map(jnp.copy, restored["params"])
+                            if self.state.ema_params is not None else None),
             )
             self.epoch = int(restored["epoch"])
             self.logger.info(
@@ -432,7 +480,12 @@ class Trainer:
             params=restored["params"],
             opt_state=opt_state if same_structure else self.state.opt_state,
             step=jnp.asarray(restored["step"]),
-            ema_params=restored["ema_params"] if same_structure else self.state.ema_params,
+            ema_params=(
+                restored["ema_params"] if same_structure
+                # params-only stage switch: seed EMA from restored params
+                else (jax.tree.map(jnp.copy, restored["params"])
+                      if self.state.ema_params is not None else None)
+            ),
         )
         self.epoch = int(restored["epoch"])
         self.logger.info(f"auto-resumed from {path} at epoch {self.epoch}")

@@ -136,6 +136,7 @@ def main(argv=None):
         w_max=cfg.get_default("image_w_max", 1344),
         h_max=cfg.get_default("image_h_max", None),
         train=train, space_label=space_label, seed=seed,
+        transfer_uint8=cfg.get_default("transfer_uint8", False),
     )
     train_batches = make_batcher(dataset_iter(train_ds), True, args.seed)
 

@@ -128,6 +128,8 @@ def main(argv=None):
         instance_erasing=cfg.get_default("truly_random_erasing", False),
         space_label=space_label,
         seed=seed,
+        transfer_uint8=cfg.get_default("transfer_uint8", False),
+        reuse=cfg.get_default("synthetic_reuse", 1) if train else 1,
     )
     train_batches = make_batcher(train_iter, True, args.seed)
 
