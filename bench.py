@@ -85,12 +85,34 @@ def main():
     dt = time.perf_counter() - t0
     lines_per_sec = B * iters / dt
 
-    print(json.dumps({
+    # MFU: XLA's own FLOP count for one forward (cost_analysis of the
+    # single-step program) / measured step time / chip peak.
+    # v5e peak is 394 TFLOP/s int8, 197 TFLOP/s bf16 (public spec).
+    mfu = None
+    try:
+        single = jax.jit(
+            lambda p, im, vh: model.apply(p, im, vh, None, train=False)
+        )
+        cost = single.lower(params, images, valid_hw).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_fwd = float(cost.get("flops", 0.0))
+        step_time = dt / iters
+        PEAK_BF16 = 197e12
+        mfu = flops_fwd / step_time / PEAK_BF16
+    except Exception:
+        pass
+
+    rec = {
         "metric": "line_inference_throughput",
         "value": round(lines_per_sec, 2),
         "unit": "lines/sec/chip (B=8, 128x1344, bf16)",
         "vs_baseline": round(lines_per_sec / REFERENCE_FAITHFUL_LINES_PER_SEC, 2),
-    }))
+    }
+    if mfu is not None:
+        rec["mfu"] = round(mfu, 4)
+        rec["fwd_tflops"] = round(flops_fwd / 1e12, 3)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

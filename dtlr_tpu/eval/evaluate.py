@@ -208,6 +208,37 @@ def main(argv=None):
                 return samples[i]
 
         ds = _SynthList()
+    elif args.dataset == "HWDB_synth":
+        # label space from the charset pickle (full 7356-class head)
+        # even when the glyph bank covers fewer chars — mirrors the
+        # pretraining driver so the checkpoint head size matches
+        hwdb_kw = {}
+        cs_pkl = cfg.get_default("hwdb_charset_pickle", None)
+        if cs_pkl:
+            import pickle
+
+            with open(cs_pkl, "rb") as fh:
+                cps = pickle.load(fh)
+            hwdb_kw["charset"] = [chr(c) if isinstance(c, int) else c for c in cps]
+        gpl = cfg.get_default("hwdb_glyphs_per_line", None)
+        if gpl:
+            hwdb_kw["glyphs_per_line"] = tuple(gpl)
+        gen = build_dataset(args.dataset, args.mode, root=args.data_root,
+                            seed=321, **hwdb_kw)
+        it = iter(gen)
+        n = args.max_images if args.max_images > 0 else 64
+        samples = [next(it) for _ in range(n)]
+
+        class _HwdbList:
+            charset = gen.charset
+
+            def __len__(self):
+                return n
+
+            def __getitem__(self, i):
+                return samples[i]
+
+        ds = _HwdbList()
     else:
         ds = build_dataset(args.dataset, args.mode, root=args.data_root)
     charset = ds.charset

@@ -67,8 +67,38 @@ def main(argv=None):
     from .lm_decode import CharNgramLM, rescore_line
 
     cfg = load_config(ycfg["model_config"])
-    ds = build_dataset(ycfg["dataset"], ycfg.get("mode", "test"),
-                       root=ycfg.get("data_root", "./data"))
+    if ycfg["dataset"] in ("synthetic", "synthetic_line_OCR_general"):
+        # fixed generated eval set on the model's own target
+        # distribution (same special case as eval/evaluate.py) so the
+        # greedy-vs-ngram comparison can run without external assets
+        from ..data.charset import DEFAULT_CHARSET_NO_ACCENT, load_default_charset
+        from ..data.synthetic import SyntheticLineGenerator
+
+        sub = ycfg.get("synthetic_charset",
+                       cfg.get_default("synthetic_charset", "default"))
+        gen = SyntheticLineGenerator(
+            charset=(load_default_charset(DEFAULT_CHARSET_NO_ACCENT)
+                     if sub == "no_accent" else None),
+            seed=777,
+            max_words=cfg.get_default("synthetic_max_words", 8),
+            plain_background=cfg.get_default("plain_background", False),
+        )
+        n_img = int(ycfg.get("num_images", 200))
+        samples = [gen.sample_dict() for _ in range(n_img)]
+
+        class _SynthList:
+            charset = gen.charset
+
+            def __len__(self):
+                return n_img
+
+            def __getitem__(self, i):
+                return samples[i]
+
+        ds = _SynthList()
+    else:
+        ds = build_dataset(ycfg["dataset"], ycfg.get("mode", "test"),
+                           root=ycfg.get("data_root", "./data"))
     charset = ds.charset
     cfg.num_classes = len(charset)
     cfg.dn_labelbook_size = len(charset) + 1
@@ -90,6 +120,9 @@ def main(argv=None):
         src(), batch_size=int(ycfg.get("batch_size", 8)),
         scales=cfg.data_aug_scales, max_size=cfg.data_aug_max_size,
         max_targets=cfg.get_default("max_targets", 256), train=False,
+        w_max=cfg.get_default("image_w_max", 1344),
+        h_max=cfg.get_default("image_h_max", None),
+        transfer_uint8=cfg.get_default("transfer_uint8", False),
     )
     trainer = Trainer(cfg, mode="ctc", output_dir=ycfg["ckpt_dir"], charset=charset)
     first = next(iter(batches))

@@ -40,6 +40,11 @@ def parse_args(argv=None):
     p.add_argument("--eval", action="store_true",
                    help="evaluation-only pass (reference main_synthetic.py "
                         "--eval mode): resume checkpoint, run val CER, exit")
+    p.add_argument("--deadline", type=float, default=0.0,
+                   help="epoch-seconds wall-clock deadline: finish the "
+                        "current epoch, checkpoint, and exit 0 once past "
+                        "it (lets an orchestrator chain stages on a "
+                        "single-chip budget)")
     return p.parse_args(argv)
 
 
@@ -107,8 +112,24 @@ def main(argv=None):
         charset = train_src.charset
         train_iter, val_iter = iter(train_src), iter(val_src)
     elif args.dataset_file == "HWDB_synth":
-        train_src = build_dataset(args.dataset_file, "train", root=args.data_root, seed=args.seed)
-        val_src = build_dataset(args.dataset_file, "val", root=args.data_root, seed=args.seed + 1)
+        # full 7356-class head even when the glyph bank covers fewer
+        # chars: the label space comes from the HWDB charset pickle
+        # (reference datasets/HWDB_Synth.py reads data/HWDB_v1/charset.pkl)
+        hwdb_kw = {}
+        cs_pkl = cfg.get_default("hwdb_charset_pickle", None)
+        if cs_pkl:
+            import pickle
+
+            with open(cs_pkl, "rb") as fh:
+                cps = pickle.load(fh)
+            hwdb_kw["charset"] = [chr(c) if isinstance(c, int) else c for c in cps]
+        gpl = cfg.get_default("hwdb_glyphs_per_line", None)
+        if gpl:
+            hwdb_kw["glyphs_per_line"] = tuple(gpl)
+        train_src = build_dataset(args.dataset_file, "train", root=args.data_root,
+                                  seed=args.seed, **hwdb_kw)
+        val_src = build_dataset(args.dataset_file, "val", root=args.data_root,
+                                seed=args.seed + 1, **hwdb_kw)
         charset = train_src.charset
         train_iter, val_iter = iter(train_src), iter(val_src)
     else:
@@ -173,6 +194,9 @@ def main(argv=None):
                 # (main_synthetic.py:447-463)
                 trainer.evaluate_ctc(eval_batches(), charset,
                                      use_ema=True, tag="eval_ema")
+        if args.deadline > 0 and __import__("time").time() > args.deadline:
+            trainer.logger.info(f"wall-clock deadline reached after epoch {epoch}")
+            break
         if rss_limit > 0 and trainer.stop_if_rss_above(rss_limit):
             # axon client host-buffer leak: exit 3 after the checkpoint;
             # an outer restart loop resumes (scripts/bigrun_pretrain.sh)

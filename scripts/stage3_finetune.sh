@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-3 stages 2+3: two-stage CTC finetune onto the 64-char no-accent
+# synthetic target from the round-3 GroupNorm pretrain, then the
+# standalone evaluator TH x NMS sweep -> stats.json.
+# Same protocol as round-2's stage2_finetune.sh, with the GN recipe
+# options so the restored param structure matches, and per-stage status.
+#
+# Usage: bash scripts/stage3_finetune.sh <pretrain_dir_or_npz> [steps1] [steps2]
+set -u
+PRE=${1:-/root/repo/outputs/r3run}
+S1=${2:-1500}
+S2=${3:-4000}
+SNAP=/tmp/stage3_src
+rm -rf "$SNAP" && mkdir -p "$SNAP"
+cp -r /root/repo/dtlr_tpu "$SNAP/"
+cd "$SNAP"
+export PYTHONPATH="$SNAP:${PYTHONPATH:-}"
+
+OUT=/root/repo/outputs/finetune_r3
+COMMON_OPTS="batch_size=8 max_targets=64 'data_aug_scales=[128]' \
+  data_aug_max_size=1024 image_w_max=1024 image_h_max=192 \
+  synthetic_max_words=5 synthetic_charset=no_accent eval_epoch=1 \
+  batch_norm_type=group \
+  compilation_cache_dir=/root/repo/outputs/xla_cache"
+
+# stage 1: fresh class heads + smart mapping, heads-only optimizer
+if ! eval python -m dtlr_tpu.train.finetune \
+  -c "$SNAP/dtlr_tpu/configs/Latin_CTC_TPU.py" \
+  --dataset_file synthetic --pretrain_dir "$PRE" \
+  --output_dir "$OUT" --new_class_embedding --smart_mapping \
+  --epochs 1 --seed 3 \
+  --options max_iterations=$S1 $COMMON_OPTS; then
+  echo "[stage3] stage-1 finetune FAILED"; exit 1
+fi
+echo "[stage3] stage-1 done"
+
+# stage 2: resume, full model
+if ! eval python -m dtlr_tpu.train.finetune \
+  -c "$SNAP/dtlr_tpu/configs/Latin_CTC_TPU.py" \
+  --dataset_file synthetic --output_dir "$OUT" \
+  --resume_finetuning --epochs 2 --seed 4 \
+  --options max_iterations=$S2 $COMMON_OPTS; then
+  echo "[stage3] stage-2 finetune FAILED"; exit 1
+fi
+echo "[stage3] stage-2 done"
+
+# evaluate: greedy + NMS sweep -> stats.json
+if ! eval python -m dtlr_tpu.eval.evaluate \
+  --dataset synthetic --mode val --config "$OUT/config_cfg.py" \
+  --ckpt_dir "$OUT" --sweep --max_images 200 --batch_size 8 \
+  --options $COMMON_OPTS; then
+  echo "[stage3] evaluator sweep FAILED"; exit 1
+fi
+echo "[stage3] sweep done"
