@@ -21,16 +21,37 @@ while :; do
     -c "$SNAP/dtlr_tpu/configs/Latin_TPU.py" \
     --dataset_file synthetic_line_OCR_general \
     --output_dir "$OUT" \
-    --steps_per_epoch 1000 --eval_every 1 --seed 0 \
+    --steps_per_epoch 1000 --eval_every 2 --seed 0 \
     --epochs "$EPOCHS" --deadline "$DEADLINE" \
     --options batch_size=8 use_ema=True warmup_steps=1000 \
       max_targets=64 'data_aug_scales=[128]' data_aug_max_size=1024 \
       image_w_max=1024 image_h_max=192 synthetic_max_words=5 eval_set_size=200 \
       save_checkpoint_interval=10 lr_drop=44 rss_restart_gb=80 \
-      batch_norm_type=group lr_backbone=1e-4 $EXTRA
+      batch_norm_type=group lr_backbone=1e-4 $EXTRA &
+  PYPID=$!
+  echo "$PYPID" > /tmp/r3py.pid
+  # stall watchdog: a device-to-host transfer inside an orbax save once
+  # wedged for 15+ min (futex wait, no progress); if the run log goes
+  # quiet far beyond any legitimate gap (first compile ~13 min, epoch
+  # eval ~4 min), kill the trainer — the loop restarts and auto-resumes
+  # from the last epoch checkpoint with the persistent compile cache.
+  while kill -0 "$PYPID" 2>/dev/null; do
+    sleep 60
+    last=$(stat -c %Y "$OUT/info.txt" 2>/dev/null || echo "$(date +%s)")
+    gap=$(( $(date +%s) - last ))
+    if [ "$gap" -gt 900 ]; then
+      echo "[r3run watchdog] log stalled ${gap}s — killing $PYPID"
+      kill "$PYPID"; sleep 10; kill -9 "$PYPID" 2>/dev/null
+    fi
+  done
+  wait "$PYPID"
   code=$?
   [ "$code" -eq 0 ] && break
   [ "$code" -eq 3 ] || sleep 10
   echo "[r3run loop] restarting after exit $code"
+  if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -gt "$DEADLINE" ]; then
+    echo "[r3run loop] past deadline after failure — stopping"
+    break
+  fi
 done
 echo "[r3run] pretrain finished, exit $code"
