@@ -1,0 +1,93 @@
+"""Round-3 transport/training features: uint8 device-normalize path,
+sample-reuse batcher, EMA decay warmup, npz flatten guards."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from dtlr_tpu.data.batching import BucketBatcher, collate  # noqa: E402
+from dtlr_tpu.ops.pixels import prep_images  # noqa: E402
+
+
+def _samples(n, rng, h0=40):
+    out = []
+    for i in range(n):
+        h, w = h0 + 8 * (i % 3), 90 + 10 * i
+        out.append({
+            "image": rng.random((h, w, 3)).astype(np.float32),
+            "boxes": np.tile([0.3, 0.5, 0.1, 0.4], (3, 1)).astype(np.float32),
+            "labels": np.arange(3, dtype=np.int32),
+            "text": "abc",
+        })
+    return out
+
+
+def test_uint8_collate_matches_f32_path_within_quantization():
+    rng = np.random.default_rng(0)
+    samples = _samples(3, rng)
+    b32 = collate([dict(s, image=s["image"].copy()) for s in samples],
+                  max_targets=8, w_max=128, h_quant=32)
+    bu8 = collate([dict(s, image=s["image"].copy()) for s in samples],
+                  max_targets=8, w_max=128, h_quant=32, as_uint8=True)
+    assert bu8.images.dtype == np.uint8
+    out = np.asarray(prep_images(jnp.asarray(bu8.images),
+                                 jnp.asarray(bu8.valid_hw)))
+    # quantization bound: (1/255/2) / min(std) = 0.00876
+    assert np.abs(out - b32.images).max() < 0.0098
+    # padded region must be exactly zero (host path pads normalized
+    # buffer with zeros; reference util/misc.py:375-397)
+    h0, w0 = bu8.valid_hw[0]
+    assert np.abs(out[0, h0:]).max() == 0.0
+    assert np.abs(out[0, :, w0:]).max() == 0.0
+    # non-uint8 input passes through untouched
+    same = prep_images(jnp.asarray(b32.images), jnp.asarray(b32.valid_hw))
+    assert np.array_equal(np.asarray(same), b32.images)
+
+
+def test_batcher_reuse_draws_from_pool():
+    rng = np.random.default_rng(1)
+    pool_src = _samples(200, rng)
+    calls = {"n": 0}
+
+    def src():
+        while True:
+            calls["n"] += 1
+            yield pool_src[calls["n"] % len(pool_src)]
+
+    b = BucketBatcher(src(), batch_size=4, scales=[32], max_size=64,
+                      max_targets=8, w_max=64, train=True, seed=0,
+                      reuse=4, reuse_pool=64)
+    it = iter(b)
+    n_batches = 10
+    for _ in range(n_batches):
+        batch = next(it)
+        assert batch.images.shape[0] == 4
+        assert batch.valid[:, :3].all()
+    b.stop()
+    # 40 slots filled with ~1/4 fresh draws -> far fewer source pulls
+    # than slots (prefetch thread may have pulled a few extra)
+    assert calls["n"] < 30, calls["n"]
+
+
+def test_ema_warmup_decay_schedule():
+    from dtlr_tpu.train.train_step import _warmed_decay
+
+    d = lambda t: float(_warmed_decay(0.9997, jnp.asarray(t)))
+    assert abs(d(0) - 0.1) < 1e-6
+    assert abs(d(9) - 10 / 19) < 1e-6
+    assert d(1000) < 0.9997 and d(1000) > 0.99
+    assert abs(d(10 ** 6) - 0.9997) < 1e-6
+    assert all(d(t2) >= d(t1) for t1, t2 in [(0, 5), (5, 100), (100, 10000)])
+
+
+def test_npz_flatten_guards():
+    from dtlr_tpu.train.checkpoints import _flatten
+
+    with pytest.raises(ValueError, match="contains '/'"):
+        _flatten({"a/b": np.zeros(2)})
+    with pytest.raises(ValueError, match="is None"):
+        _flatten({"a": {"b": None}})
+    flat = _flatten({"a": {"b": np.ones(2)}, "c": np.zeros(1)})
+    assert set(flat) == {"a/b", "c"}
