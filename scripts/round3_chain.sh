@@ -51,4 +51,12 @@ if [ "$(left)" -gt 1800 ]; then
 else
   echo "[chain] skipping hwdb smoke (deadline)"
 fi
+# flagship re-bench with the new MFU field (chip idle now)
+if [ "$(left)" -gt 900 ]; then
+  if (cd /root/repo && timeout 1500 python bench.py > outputs/bench_r3.json 2> outputs/bench_r3.err); then
+    echo "[chain] bench: $(cat /root/repo/outputs/bench_r3.json)"
+  else
+    echo "[chain] bench FAILED (see outputs/bench_r3.err)"
+  fi
+fi
 echo "[chain] all done at $(date)"
