@@ -102,6 +102,44 @@ class CharNgramLM:
         lm.arpa = grams
         return lm
 
+    def to_arpa(self, path: str) -> None:
+        """Write the fitted counts model as an ARPA file.
+
+        Completes the reference's LM lifecycle without the kenlm
+        binaries (reference ngram/train_n_gram.sh runs lmplz -> .arpa;
+        this sandbox has no kenlm, so the python LM exports the same
+        artifact format its own ``from_arpa``/kenlm consumers read).
+        Probabilities are the add-k conditionals of each observed
+        n-gram; contexts carry a stupid-backoff weight log10(0.4).
+        """
+        if not any(self.counts[0].values()):
+            raise ValueError("to_arpa requires a fitted counts model")
+        V = max(len(self.vocab), 1)
+        bo = math.log10(0.4)
+        sections: List[List[str]] = []
+        for n in range(self.order):
+            rows = []
+            for ctx, bucket in sorted(self.counts[n].items()):
+                total = sum(bucket.values())
+                for c, cnt in sorted(bucket.items()):
+                    logp = math.log10(
+                        (cnt + self.add_k) / (total + self.add_k * V)
+                    )
+                    gram = " ".join(list(ctx) + [c])
+                    # context grams of higher orders get a backoff field
+                    tail = f"\t{bo:.6f}" if n + 1 < self.order else ""
+                    rows.append(f"{logp:.6f}\t{gram}{tail}")
+            sections.append(rows)
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write("\\data\\\n")
+            for n, rows in enumerate(sections):
+                fh.write(f"ngram {n + 1}={len(rows)}\n")
+            for n, rows in enumerate(sections):
+                fh.write(f"\n\\{n + 1}-grams:\n")
+                fh.write("\n".join(rows))
+                fh.write("\n")
+            fh.write("\n\\end\\\n")
+
     def _arpa_logp(self, context: str, char: str) -> float:
         toks = (list("^" * (self.order - 1)) + list(context))[-(self.order - 1):]
         acc = 0.0

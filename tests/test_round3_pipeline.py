@@ -82,6 +82,28 @@ def test_ema_warmup_decay_schedule():
     assert all(d(t2) >= d(t1) for t1, t2 in [(0, 5), (5, 100), (100, 10000)])
 
 
+def test_charngram_arpa_roundtrip():
+    import string
+
+    from dtlr_tpu.ngram.lm_decode import CharNgramLM
+
+    lines = ["the cat sat on the mat", "the dog ate the bone"] * 10
+    lm = CharNgramLM(order=4).fit(lines)
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "lm.arpa")
+    lm.to_arpa(path)
+    lm2 = CharNgramLM.from_arpa(path)
+    assert lm2.order == 4
+    alphabet = string.ascii_lowercase + " "
+    for ctx in ["the ", "ca", " ", "th"]:
+        a = max(alphabet, key=lambda c: lm.logp(ctx, c))
+        b = max(alphabet, key=lambda c: lm2.logp(ctx, c))
+        assert a == b, (ctx, a, b)
+    # unfitted model refuses to export
+    with pytest.raises(ValueError):
+        CharNgramLM(order=3).to_arpa(path)
+
+
 def test_npz_flatten_guards():
     from dtlr_tpu.train.checkpoints import _flatten
 
