@@ -13,7 +13,7 @@ Covers reference semantics:
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -161,6 +161,42 @@ def load_params_npz(path: str, dtype: str = "float32") -> Dict[str, Any]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = jnp.asarray(arr)
     return out
+
+
+def merge_params_npz(params: Dict[str, Any], path: str,
+                     dtype: str = "float32") -> Tuple[Dict[str, Any], Dict[str, int]]:
+    """Tolerant warm start from an npz snapshot: copy every snapshot
+    leaf whose '/'-joined path exists in ``params`` with a matching
+    shape, keep the fresh initialization for everything else (the
+    strict=False analog of torch ``load_state_dict`` the reference
+    relies on when module structure changes, e.g. swapping the decoder
+    cross-attention formulation between ``dense`` and ``deform``).
+
+    Returns (merged, counts) with counts = copied / fresh (in params but
+    not usable from the snapshot) / unused (snapshot-only) leaf totals.
+    """
+    flat_params = _flatten(jax.tree.map(lambda x: x, params))
+    copied = unused = 0
+    with np.load(path) as npz:
+        for key in npz.files:
+            arr = npz[key]
+            if key in flat_params and tuple(arr.shape) == tuple(flat_params[key].shape):
+                if np.issubdtype(arr.dtype, np.floating):
+                    arr = arr.astype(dtype)
+                flat_params[key] = jnp.asarray(arr)
+                copied += 1
+            else:
+                unused += 1
+    out: Dict[str, Any] = {}
+    for key, leaf in flat_params.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(leaf)
+    counts = {"copied": copied, "fresh": len(flat_params) - copied,
+              "unused": unused}
+    return out, counts
 
 
 # ---------------------------------------------------------------- surgery

@@ -40,6 +40,14 @@ def parse_args(argv=None):
     p.add_argument("--eval", action="store_true",
                    help="evaluation-only pass (reference main_synthetic.py "
                         "--eval mode): resume checkpoint, run val CER, exit")
+    p.add_argument("--warm_start_npz", default=None,
+                   help="tolerant params warm start from a committed "
+                        ".npz snapshot (checkpoints.merge_params_npz): "
+                        "copies every shape-matching leaf, keeps fresh "
+                        "init for the rest — lets an architecture "
+                        "variant (e.g. decoder_ca=deform) adapt from a "
+                        "trained trunk; ignored when output_dir already "
+                        "holds a resumable checkpoint")
     p.add_argument("--deadline", type=float, default=0.0,
                    help="epoch-seconds wall-clock deadline: finish the "
                         "current epoch, checkpoint, and exit 0 once past "
@@ -167,6 +175,14 @@ def main(argv=None):
                       charset=charset, seed=args.seed)
     first = next(iter(train_batches))
     params = trainer.init_params(batch_to_arrays(first))
+    if args.warm_start_npz:
+        from . import checkpoints as ckpt_lib
+
+        if ckpt_lib.latest_step(os.path.join(args.output_dir, "checkpoint")) is None:
+            params, counts = ckpt_lib.merge_params_npz(params, args.warm_start_npz)
+            trainer.logger.info(
+                f"warm start from {args.warm_start_npz}: {counts}"
+            )
     trainer.build(params)
     if args.resume:
         trainer.try_resume()

@@ -41,7 +41,7 @@ if [ "$(left)" -gt 1500 ] && [ -f /root/repo/scripts/ngram_compare.sh ]; then
 fi
 
 # chinese-path smoke (~25 min incl. compile)
-if [ "$(left)" -gt 1800 ]; then
+if [ "$(left)" -gt 2100 ]; then
   if bash /root/repo/scripts/hwdb_smoke.sh \
       > /root/repo/outputs/hwdb_console.log 2>&1; then
     echo "[chain] hwdb smoke OK"
@@ -51,6 +51,26 @@ if [ "$(left)" -gt 1800 ]; then
 else
   echo "[chain] skipping hwdb smoke (deadline)"
 fi
+
+# dense-vs-deform matched-budget adaptation comparison (r2 VERDICT #4)
+if [ "$(left)" -gt 2700 ]; then
+  if bash /root/repo/scripts/deform_adapt.sh \
+      > /root/repo/outputs/da_console.log 2>&1; then
+    echo "[chain] deform-adapt comparison OK"
+  else
+    echo "[chain] deform-adapt comparison FAILED (see outputs/da_console.log)"
+  fi
+else
+  echo "[chain] skipping deform-adapt (deadline)"
+fi
+
+# per-round Mosaic lowering re-probe for the deform gather (cheap)
+if [ "$(left)" -gt 500 ]; then
+  (cd /root/repo && timeout 400 python scripts/pallas_probe.py \
+     > outputs/pallas_probe_r3.log 2>&1)
+  echo "[chain] pallas probe: $(tail -1 /root/repo/outputs/pallas_probe_r3.log)"
+fi
+
 # flagship re-bench with the new MFU field (chip idle now)
 if [ "$(left)" -gt 900 ]; then
   if (cd /root/repo && timeout 1500 python bench.py > outputs/bench_r3.json 2> outputs/bench_r3.err); then

@@ -98,3 +98,37 @@ def test_params_npz_roundtrip(tmp_path):
     kern = out["params"]["backbone"]["conv"]["kernel"]
     assert kern.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(kern), np.arange(12.0).reshape(3, 4), rtol=1e-3)
+
+
+def test_merge_params_npz_tolerant_warm_start(tmp_path):
+    """merge_params_npz copies shape-matching leaves, keeps fresh init
+    elsewhere (the decoder_ca dense<->deform swap in deform_adapt.sh)."""
+    from dtlr_tpu.train.checkpoints import export_params_npz, merge_params_npz
+
+    trained = {
+        "params": {
+            "backbone": {"conv": {"kernel": jnp.full((3, 4), 7.0)}},
+            "decoder": {"ca_dense": {"q": {"kernel": jnp.full((4, 4), 2.0)}}},
+            "head": {"fc": {"bias": jnp.arange(2.0)}},
+        }
+    }
+    path = str(tmp_path / "trunk.npz")
+    export_params_npz(trained, path, dtype="float16")
+
+    fresh = {
+        "params": {
+            "backbone": {"conv": {"kernel": jnp.zeros((3, 4))}},
+            # different CA formulation: leaf path differs -> stays fresh
+            "decoder": {"ca_deform": {"offsets": {"kernel": jnp.full((4, 8), 0.5)}}},
+            # same path but different shape -> stays fresh
+            "head": {"fc": {"bias": jnp.zeros((5,))}},
+        }
+    }
+    merged, counts = merge_params_npz(fresh, path)
+    assert counts == {"copied": 1, "fresh": 2, "unused": 2}
+    np.testing.assert_allclose(
+        np.asarray(merged["params"]["backbone"]["conv"]["kernel"]), 7.0)
+    np.testing.assert_allclose(
+        np.asarray(merged["params"]["decoder"]["ca_deform"]["offsets"]["kernel"]), 0.5)
+    assert merged["params"]["head"]["fc"]["bias"].shape == (5,)
+    assert jax.tree.structure(merged) == jax.tree.structure(fresh)
