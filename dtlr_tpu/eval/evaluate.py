@@ -242,8 +242,14 @@ def main(argv=None):
     else:
         ds = build_dataset(args.dataset, args.mode, root=args.data_root)
     charset = ds.charset
+    # preserve the config family's labelbook offset when re-deriving the
+    # class count from the dataset charset: reference Latin.py:103 uses
+    # num_classes+1 but Chinese.py:104 uses num_classes — hardcoding +1
+    # here built a label_enc one row larger than the Chinese pretrain's
+    offset = (cfg.get_default("dn_labelbook_size", cfg.num_classes + 1)
+              - cfg.num_classes)
     cfg.num_classes = len(charset)
-    cfg.dn_labelbook_size = len(charset) + 1
+    cfg.dn_labelbook_size = len(charset) + offset
     token_based = getattr(ds, "token_based", False)
 
     def src():
@@ -272,7 +278,12 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     grid = (
-        [(t / 10, n / 10) for t in range(1, 10) for n in range(1, 10)]
+        # reference sweep is TH 0.1..0.9 (evaluation.py:460-582); the
+        # extra TH=0.05 rows catch a model whose confidence ceiling is
+        # still below 0.1 (early-budget pretrains) — kept TH-ascending
+        # so the all-empty early-exit stays monotone
+        [(t, n / 10) for t in [0.05] + [x / 10 for x in range(1, 10)]
+         for n in range(1, 10)]
         if args.sweep
         else [(args.TH, args.NMS)]
     )

@@ -124,8 +124,12 @@ def main(argv=None):
         train_ds = build_dataset(args.dataset_file, "train", root=args.data_root)
         val_ds = build_dataset(args.dataset_file, "val", root=args.data_root)
     charset = train_ds.charset
+    # keep the config family's labelbook offset (reference Latin.py:103
+    # num_classes+1 vs Chinese.py:104 num_classes) — see evaluate.py
+    offset = (cfg.get_default("dn_labelbook_size", cfg.num_classes + 1)
+              - cfg.num_classes)
     cfg.num_classes = len(charset)
-    cfg.dn_labelbook_size = len(charset) + 1
+    cfg.dn_labelbook_size = len(charset) + offset
 
     token_based = getattr(train_ds, "token_based", False)
     space_label = charset.index(" ") if " " in charset else -1
