@@ -44,7 +44,11 @@ def main():
         num_classes=166, num_queries=900, hidden_dim=256, n_heads=8,
         num_encoder_layers=6, num_decoder_layers=6, d_ffn=2048,
         num_feature_levels=4, use_dn=True, dn_number=100,
-        dn_labelbook_size=167, max_targets=256, norm_kind="frozen_bn",
+        # norm_kind follows the committed flagship recipe
+        # (configs/Latin_TPU.py: GroupNorm, the from-scratch ablation
+        # winner) so the bench measures the model we actually train;
+        # round-2 numbers were frozen_bn (affine-foldable, ~equal cost)
+        dn_labelbook_size=167, max_targets=256, norm_kind="group",
         shared_offsets=True, encoder_type="windowed", encoder_win=32,
         decoder_ca="dense", dtype=jnp.bfloat16,
     )

@@ -7,6 +7,17 @@ _base_ = ["Latin.py"]
 
 deform_shared_offsets = True
 
+# From-scratch backbone recipe (round-3 ablation winner, see
+# docs/ROUND3_NOTES.md): GroupNorm + full backbone LR. The reference's
+# FrozenBN + lr_backbone=1e-5 assumes ImageNet-pretrained weights AND
+# statistics (reference models/dino/backbone.py:118-120); training a
+# random-init backbone through identity-stats FrozenBN at 1e-5 produced
+# the round-2 flat confidence ceiling (mean max-conf 0.157->0.138 over
+# 5k->16k steps). Restore batch_norm_type="FrozenBatchNorm2d" +
+# lr_backbone=1e-5 when importing pretrained torch weights.
+batch_norm_type = "group"
+lr_backbone = 1e-4
+
 # dense windowed encoder (zero-gather, MXU-native) — see
 # models/windowed_encoder.py. Comment out to keep the deformable
 # encoder with shared sampling.
