@@ -20,10 +20,15 @@ echo "[chain] bigrun done at $(date), $(left)s left"
 
 # 2. stage-2 finetune + evaluate (~50 min)
 if [ "$(left)" -gt 3600 ]; then
-  bash /root/repo/scripts/stage2_finetune.sh /root/repo/outputs/bigrun \
-    > /root/repo/outputs/stage2_console.log 2>&1
+  if bash /root/repo/scripts/stage2_finetune.sh /root/repo/outputs/bigrun \
+      > /root/repo/outputs/stage2_console.log 2>&1; then
+    echo "[chain] stage2 done at $(date), $(left)s left"
+  else
+    echo "[chain] stage2 FAILED (see outputs/stage2_console.log), $(left)s left"
+  fi
+else
+  echo "[chain] skipping stage2 (deadline)"
 fi
-echo "[chain] stage2 done at $(date), $(left)s left"
 
 # 3. decoder-CA comparison: 4 epochs each needs ~100 min; 2 epochs ~60
 L=$(left)
@@ -31,7 +36,11 @@ if [ "$L" -gt 7200 ]; then CMP_EPOCHS=4
 elif [ "$L" -gt 4500 ]; then CMP_EPOCHS=2
 else CMP_EPOCHS=0; fi
 if [ "$CMP_EPOCHS" -gt 0 ]; then
-  bash /root/repo/scripts/compare_decoder_ca.sh "$CMP_EPOCHS" \
-    > /root/repo/outputs/cmp_console.log 2>&1
+  if bash /root/repo/scripts/compare_decoder_ca.sh "$CMP_EPOCHS" \
+      > /root/repo/outputs/cmp_console.log 2>&1; then
+    echo "[chain] decoder comparison done"
+  else
+    echo "[chain] decoder comparison FAILED (see outputs/cmp_console.log)"
+  fi
 fi
 echo "[chain] all done at $(date)"
