@@ -13,7 +13,13 @@ Usage: python scripts/snapshot_params.py <run_dir> <out_prefix> [--ema] [--fp32]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# self-locating: callers clear PYTHONPATH to skip the axon sitecustomize
+# (CLAUDE.md one-process rule), and `python scripts/foo.py` puts scripts/
+# on sys.path, not the repo root — chain2's snapshot stage failed on this
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
