@@ -49,6 +49,8 @@ def parse_args(argv=None):
     p.add_argument("--NMS", type=float, default=-1.0)
     p.add_argument("--TH", type=float, default=-1.0)
     p.add_argument("--sweep", action="store_true")
+    p.add_argument("--sweep_th", type=float, default=None,
+                   help="restrict --sweep to TH values within ±0.1 of this")
     p.add_argument("--metrics", default="default",
                    choices=["default", "CER_only", "chinese", "cipher"])
     p.add_argument("--batch_size", type=int, default=8)
@@ -277,13 +279,18 @@ def main(argv=None):
     out_dir = os.path.join(args.ckpt_dir, "stats_dect", args.dataset)
     os.makedirs(out_dir, exist_ok=True)
 
+    th_values = [0.05] + [x / 10 for x in range(1, 10)]
+    if args.sweep and args.sweep_th is not None:
+        # focused re-sweep around a known-good TH (e.g. a prior full
+        # sweep's pick): 3 TH rows instead of 10, same 9-point NMS scan
+        th_values = sorted(
+            t for t in th_values if abs(t - args.sweep_th) < 0.11)
     grid = (
         # reference sweep is TH 0.1..0.9 (evaluation.py:460-582); the
         # extra TH=0.05 rows catch a model whose confidence ceiling is
         # still below 0.1 (early-budget pretrains) — kept TH-ascending
         # so the all-empty early-exit stays monotone
-        [(t, n / 10) for t in [0.05] + [x / 10 for x in range(1, 10)]
-         for n in range(1, 10)]
+        [(t, n / 10) for t in th_values for n in range(1, 10)]
         if args.sweep
         else [(args.TH, args.NMS)]
     )
