@@ -137,11 +137,13 @@ class SyntheticLineGenerator:
         font_sampler=None,
         corpus_sampler=None,
         reference_text_mode: bool = False,
+        corpus_prob: float = 0.7,
     ):
         self.plain_background = plain_background
         self.charset = list(charset) if charset is not None else load_default_charset()
         self.index = {c: i for i, c in enumerate(self.charset)}
         self.corpus = list(corpus_lines) if corpus_lines else None
+        self.corpus_prob = float(corpus_prob)
         self.rng = np.random.default_rng(seed)
         self.max_words = max_words
         self.fonts = list(fonts) if fonts else discover_fonts()
@@ -191,7 +193,7 @@ class SyntheticLineGenerator:
 
     def sample_text(self) -> str:
         rng = self.rng
-        if self.corpus is not None and rng.random() < 0.7:
+        if self.corpus is not None and rng.random() < self.corpus_prob:
             line = self.corpus[rng.integers(0, len(self.corpus))]
             words = line.split(" ")
             n = int(rng.integers(1, self.max_words + 1))

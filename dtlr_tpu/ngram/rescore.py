@@ -76,12 +76,22 @@ def main(argv=None):
 
         sub = ycfg.get("synthetic_charset",
                        cfg.get_default("synthetic_charset", "default"))
+        # eval_corpus: render held-out natural-text word windows instead
+        # of random char strings — random text carries no n-gram
+        # structure, so only a text-corpus eval can show the LM delta
+        # the reference reports (clean_gen_ngram_preds.py:330-393)
+        corpus_lines = None
+        if ycfg.get("eval_corpus"):
+            with open(ycfg["eval_corpus"]) as fh:
+                corpus_lines = [l.strip() for l in fh if l.strip()]
         gen = SyntheticLineGenerator(
             charset=(load_default_charset(DEFAULT_CHARSET_NO_ACCENT)
                      if sub == "no_accent" else None),
             seed=777,
             max_words=cfg.get_default("synthetic_max_words", 8),
             plain_background=cfg.get_default("plain_background", False),
+            corpus_lines=corpus_lines,
+            corpus_prob=1.0,
         )
         n_img = int(ycfg.get("num_images", 200))
         samples = [gen.sample_dict() for _ in range(n_img)]
@@ -107,9 +117,14 @@ def main(argv=None):
     if ycfg.get("lm_arpa"):
         lm = CharNgramLM.from_arpa(ycfg["lm_arpa"])
     elif ycfg.get("lm_corpus"):
+        # fit on charset-filtered text so the LM vocabulary matches the
+        # label alphabet (the generator strips non-charset chars — incl.
+        # space for the 64-char no-accent set — from rendered labels)
+        cs_set = set(charset)
         with open(ycfg["lm_corpus"]) as fh:
             lm = CharNgramLM(order=int(ycfg.get("lm_order", 6))).fit(
-                [l.strip() for l in fh if l.strip()]
+                [t for t in ("".join(c for c in l if c in cs_set)
+                             for l in fh) if t]
             )
 
     def src():
@@ -136,9 +151,13 @@ def main(argv=None):
 
     greedy_preds, lm_preds, gts = [], [], []
     params = trainer.state.params
+    import itertools
+
     import jax.numpy as jnp
 
-    for batch in batches:
+    # `first` was consumed from the (one-shot) batch iterator to build
+    # the trainer — chain it back in so every image gets decoded
+    for bi, batch in enumerate(itertools.chain([first], batches)):
         out = trainer._eval_fn(params, batch_to_arrays(batch))
         frames = greedy_decode(out["pred_logits"], out["pred_boxes"])
         # frame posteriors with logits temperature (reference
@@ -161,6 +180,12 @@ def main(argv=None):
             greedy_preds.append(greedy)
             lm_preds.append(rescored)
             gts.append(text)
+        if bi % 5 == 0:
+            # visible progress: the device wait + beam rescore can take
+            # minutes; a silent console looks like a tunnel wedge
+            trainer.logger.info(
+                f"rescored {len(gts)} lines "
+                f"(running greedy CER {corpus_cer(greedy_preds, gts):.3f})")
         if 0 < args.max_images <= len(gts):
             break
 

