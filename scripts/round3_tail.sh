@@ -15,6 +15,21 @@ HARD_END=${R3_HARD_END:-1786998600}   # 20:30 UTC
 left() { echo $(( HARD_END - $(date +%s) )); }
 log() { echo "[tail $(date -u +%H:%M:%S)] $*"; }
 
+# 0. natural-text n-gram comparison (~12 min): the random-char control
+# showed delta ~0 (greedy 0.2157 vs 0.2148); word-corpus rendering is
+# the config that can show a real LM delta
+if [ "$(left)" -gt 3600 ]; then
+  if (cd /root/repo && timeout 2400 python -m dtlr_tpu.ngram.rescore \
+      --config_path dtlr_tpu/ngram/synthetic_r3_words.yaml --max_images 200 \
+      > outputs/ngram_words_console.log 2>&1); then
+    log "ngram words: $(tail -1 /root/repo/outputs/ngram_words_console.log)"
+  else
+    log "ngram words FAILED (see outputs/ngram_words_console.log)"
+  fi
+else
+  log "skipping ngram words (deadline)"
+fi
+
 if [ "$(left)" -gt 2700 ]; then
   if bash /root/repo/scripts/stage4_extend.sh 6000 focus \
       > /root/repo/outputs/stage4_console.log 2>&1; then
