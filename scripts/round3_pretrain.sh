@@ -15,6 +15,18 @@ EPOCHS=${R3_EPOCHS:-100}
 DEADLINE=${R3_DEADLINE:-0}
 OUT=${R3_OUT:-/root/repo/outputs/r3run}
 EXTRA=${R3_EXTRA:-}
+# Safety clamp: the driver's end-of-round bench.py needs the chip free
+# (round-2 boundary evidence: BENCH_r02 ran 07:01, round 3 began 07:59).
+# A trainer still holding the TPU when the round dies would block that
+# device claim, so never train past R3_DEADLINE_CAP (default 19:45 UTC
+# today); a live session can relaunch with a later cap if the round
+# survives.
+CAP=${R3_DEADLINE_CAP:-1786995900}
+if [ "$CAP" -gt "$(date +%s)" ]; then     # a stale (past) cap is ignored
+  if [ "$DEADLINE" -eq 0 ] || [ "$DEADLINE" -gt "$CAP" ]; then
+    DEADLINE=$CAP
+  fi
+fi
 
 while :; do
   python -m dtlr_tpu.train.pretrain \
