@@ -146,9 +146,14 @@ class MultiHeadAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v, attn_mask: Optional[jnp.ndarray] = None):
+    def __call__(self, q, k, v, attn_mask: Optional[jnp.ndarray] = None,
+                 logit_bias: Optional[jnp.ndarray] = None):
         """attn_mask: (Q, K) or (B, Q, K) bool, True = BLOCKED (torch
-        convention, reference dn_components.py:117-129)."""
+        convention, reference dn_components.py:117-129).
+        logit_bias: optional additive pre-softmax bias broadcastable to
+        (B, n_heads, Q, K) — used by the dense decoder cross-attention's
+        box-locality prior (an elementwise add XLA fuses into the QK^T
+        producer, so it costs no extra HBM round-trip)."""
         B, Lq, _ = q.shape
         M = self.n_heads
         D = self.d_model // M
@@ -157,6 +162,8 @@ class MultiHeadAttention(nn.Module):
         kh = dense("k_proj")(k)
         vh = dense("v_proj")(v)
         logits = jnp.einsum("bqmd,bkmd->bmqk", qh, kh) / math.sqrt(D)
+        if logit_bias is not None:
+            logits = logits + logit_bias.astype(logits.dtype)
         if attn_mask is not None:
             if attn_mask.ndim == 2:
                 blocked = attn_mask[None, None]

@@ -99,6 +99,34 @@ def gen_encoder_output_proposals(
     return output_memory, output_proposals, ~invalid[..., 0]
 
 
+def dense_box_prior_d2(reference_points_input, spatial_shapes):
+    """Squared distance from every flattened memory pixel to every query's
+    current reference box, normalized by the box half-extent, for the
+    dense decoder cross-attention's locality prior.
+
+    `reference_points_input` is (B, nq, L, 4) cxcywh already scaled by
+    per-level valid ratios, i.e. padded-frame fractions — the same frame
+    as a level-l pixel center ((j+0.5)/W_l, (i+0.5)/H_l), so the two are
+    directly comparable (this is the identical frame MSDeformAttn samples
+    in; reference models/dino/ops grid_sample convention). Returns
+    (B, nq, S) fp32 where 1.0 = the box boundary (sigma = half-extent).
+    """
+    parts = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        py, px = jnp.meshgrid(
+            (jnp.arange(h, dtype=jnp.float32) + 0.5) / h,
+            (jnp.arange(w, dtype=jnp.float32) + 0.5) / w,
+            indexing="ij",
+        )
+        box = reference_points_input[:, :, lvl, :].astype(jnp.float32)
+        half_w = jnp.maximum(box[..., 2] * 0.5, 1e-3)[..., None]  # (B,nq,1)
+        half_h = jnp.maximum(box[..., 3] * 0.5, 1e-3)[..., None]
+        dx = (px.reshape(-1)[None, None, :] - box[..., 0:1]) / half_w
+        dy = (py.reshape(-1)[None, None, :] - box[..., 1:2]) / half_h
+        parts.append(dx * dx + dy * dy)
+    return jnp.concatenate(parts, axis=-1)
+
+
 class EncoderLayer(nn.Module):
     d_model: int = 256
     d_ffn: int = 2048
@@ -139,6 +167,7 @@ class DecoderLayer(nn.Module):
     module_seq: Tuple[str, ...] = ("sa", "ca", "ffn")
     shared_offsets: bool = False
     ca_type: str = "deform"  # 'deform' (reference) | 'dense' (TPU MXU-native)
+    box_bias: bool = False  # dense CA only: Gaussian box-locality log-prior
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -172,10 +201,21 @@ class DecoderLayer(nn.Module):
                 # the MXU with none of the gather machinery (measured;
                 # see PERFORMANCE.md). Config `decoder_ca='dense'`.
                 blocked = memory_key_padding_mask[:, None, :]  # (B, 1, S)
+                bias = None
+                if self.box_bias:
+                    # deform's box-guided locality prior as a dense-attention
+                    # log-bias: Gaussian in box-normalized distance, per-head
+                    # learnable sharpness (gamma -> 0 recovers plain dense, so
+                    # warm starts from a no-bias checkpoint stay well-behaved).
+                    d2 = dense_box_prior_d2(reference_points_input, spatial_shapes)
+                    log_gamma = self.param("ca_box_gamma", nn.initializers.zeros,
+                                           (self.n_heads,), jnp.float32)
+                    bias = (-0.5 * jnp.exp(log_gamma)[None, :, None, None]
+                            * d2[:, None, :, :])
                 t2 = MultiHeadAttention(self.d_model, self.n_heads, dtype=self.dtype,
                                         name="cross_attn")(
                     t + query_pos, memory + memory_pos.astype(memory.dtype),
-                    memory, blocked)
+                    memory, blocked, logit_bias=bias)
             else:
                 t2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
                                   self.n_points, shared_offsets=self.shared_offsets,
@@ -220,6 +260,7 @@ class DeformableTransformer(nn.Module):
     encoder_type: str = "deformable"  # or "windowed" (TPU-native dense)
     encoder_win: int = 32
     decoder_ca: str = "deform"  # or "dense" (TPU MXU-native cross-attn)
+    dense_box_bias: bool = False  # dense CA: box-locality log-prior
     use_checkpoint: bool = False  # remat encoder/decoder layers
     dtype: Any = jnp.float32
 
@@ -272,6 +313,7 @@ class DeformableTransformer(nn.Module):
             DecLayer(self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
                          self.dec_n_points, self.dropout, self.module_seq,
                          shared_offsets=self.shared_offsets, ca_type=self.decoder_ca,
+                         box_bias=self.dense_box_bias,
                          dtype=self.dtype, name=f"decoder_layer_{i}")
             for i in range(self.num_decoder_layers)
         ]
