@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-3 extension: first real (multi-k-step) HWDB-synthetic pretrain,
+# warm-started from the Latin GN trunk (artifacts/r3run_params.npz via
+# the tolerant merge: backbone/encoder/decoder transfer, the 7356-class
+# head and label_enc re-init at their HWDB shapes). Goal: a non-zero
+# AR/CR through the `chinese` metric mode — the 300-step smoke
+# (hwdb_smoke.sh) proved the path but could not cross any confidence
+# threshold. Reference protocol: datasets/HWDB_Synth.py:36-223,
+# evaluation.py:242-292,560-571.
+set -u
+STEPS=${HWDB_STEPS:-2000}
+EPOCHS=${HWDB_EPOCHS:-5}
+NPZ=${HWDB_NPZ:-/root/repo/artifacts/r3run_params.npz}
+GNT_ROOT=/root/repo/outputs/hwdb_assets
+SNAP=/tmp/hwdbr_src
+rm -rf "$SNAP" && mkdir -p "$SNAP"
+cp -r /root/repo/dtlr_tpu "$SNAP/"
+cd "$SNAP"
+export PYTHONPATH="$SNAP:${PYTHONPATH:-}"
+OUT=/root/repo/outputs/hwdb_real
+
+if [ ! -f "$GNT_ROOT/HWDB_gnt/fake000.gnt" ]; then
+  mkdir -p "$GNT_ROOT/HWDB_gnt"
+  python /root/repo/scripts/make_fake_gnt.py "$GNT_ROOT/HWDB_gnt" 600 3
+fi
+
+OPTS="batch_size=8 max_targets=64 'data_aug_scales=[96]' \
+  data_aug_max_size=1024 image_w_max=1024 image_h_max=160 \
+  eval_set_size=64 transfer_uint8=True synthetic_reuse=4 \
+  warmup_steps=500 lr_drop=1000000 \
+  hwdb_charset_pickle=/root/reference/data/HWDB_v1/charset.pkl \
+  'hwdb_glyphs_per_line=[5,25]' \
+  compilation_cache_dir=/root/repo/outputs/xla_cache"
+
+status=0
+eval python -m dtlr_tpu.train.pretrain \
+  -c "$SNAP/dtlr_tpu/configs/Chinese.py" \
+  --dataset_file HWDB_synth --data_root "$GNT_ROOT" \
+  --output_dir "$OUT" --warm_start_npz "$NPZ" \
+  --steps_per_epoch "$STEPS" --epochs "$EPOCHS" --eval_every 1 --seed 0 \
+  --options $OPTS \
+  || status=$?
+if [ "$status" -ne 0 ]; then echo "[hwdb_real] pretrain FAILED ($status)"; exit $status; fi
+
+eval python -m dtlr_tpu.eval.evaluate \
+  --dataset HWDB_synth --mode val --config "$OUT/config_cfg.py" \
+  --ckpt_dir "$OUT" --data_root "$GNT_ROOT" \
+  --metrics chinese --TH 0.2 --NMS 0.5 --max_images 64 --batch_size 8 \
+  || { echo "[hwdb_real] chinese eval FAILED"; exit 1; }
+echo "[hwdb_real] done"
