@@ -54,6 +54,12 @@ def main(argv=None):
     p = argparse.ArgumentParser("DTLR-TPU ngram rescoring")
     p.add_argument("--config_path", required=True)
     p.add_argument("--max_images", type=int, default=-1)
+    p.add_argument("--sweep_lm", default=None,
+                   help="grid over LM hyperparameters with a single model "
+                        "decode, e.g. 'lm_order=4,6;lm_weight=0.1,0.25,0.5;"
+                        "beam=16,32'; prints one JSON line per point plus a "
+                        "best-point summary (the reference tunes these "
+                        "per-dataset in its ngram/*.yaml)")
     args = p.parse_args(argv)
     ycfg = load_yaml(args.config_path)
 
@@ -149,7 +155,15 @@ def main(argv=None):
     lm_weight = float(ycfg.get("lm_weight", 0.25))
     beam = int(ycfg.get("beam", 16))
 
-    greedy_preds, lm_preds, gts = [], [], []
+    gate = bool(ycfg.get("skip_gated_words", True))
+    gate_kw = dict(
+        no_uppercase_words=gate and bool(ycfg.get("no_uppercase_words", True)),
+        no_digits=gate and bool(ycfg.get("no_digits", False)),
+        no_dash=gate and bool(ycfg.get("no_dash", True)),
+    )
+
+    # ---- single model pass: collect per-line frame posteriors ----
+    greedy_preds, line_probs, gts = [], [], []
     params = trainer.state.params
     import itertools
 
@@ -168,29 +182,64 @@ def main(argv=None):
         ))
         for b, text in enumerate(batch.texts):
             labs = greedy_labels(frames[b : b + 1])[0]
-            greedy = labels_to_text(labs, charset)
-            gate = bool(ycfg.get("skip_gated_words", True))
-            rescored = rescore_line(
-                probs[b], greedy, charset, lm,
-                lm_weight=lm_weight, beam=beam,
-                no_uppercase_words=gate and bool(ycfg.get("no_uppercase_words", True)),
-                no_digits=gate and bool(ycfg.get("no_digits", False)),
-                no_dash=gate and bool(ycfg.get("no_dash", True)),
-            )
-            greedy_preds.append(greedy)
-            lm_preds.append(rescored)
+            greedy_preds.append(labels_to_text(labs, charset))
+            line_probs.append(probs[b])
             gts.append(text)
         if bi % 5 == 0:
-            # visible progress: the device wait + beam rescore can take
-            # minutes; a silent console looks like a tunnel wedge
+            # visible progress: the device wait can take minutes; a
+            # silent console looks like a tunnel wedge
             trainer.logger.info(
-                f"rescored {len(gts)} lines "
+                f"decoded {len(gts)} lines "
                 f"(running greedy CER {corpus_cer(greedy_preds, gts):.3f})")
         if 0 < args.max_images <= len(gts):
             break
 
+    def rescore_all(the_lm, w, bm):
+        return [
+            rescore_line(pr, gr, charset, the_lm, lm_weight=w, beam=bm,
+                         **gate_kw)
+            for pr, gr in zip(line_probs, greedy_preds)
+        ]
+
+    greedy_cer = corpus_cer(greedy_preds, gts)
+
+    if args.sweep_lm:
+        # decode-once hyperparameter grid; LM refit per order is cheap
+        # next to the beam decodes
+        grid = {}
+        for part in args.sweep_lm.split(";"):
+            k, _, v = part.partition("=")
+            grid[k.strip()] = [float(x) for x in v.split(",") if x]
+        orders = [int(o) for o in grid.get("lm_order", [ycfg.get("lm_order", 6)])]
+        weights = grid.get("lm_weight", [lm_weight])
+        beams = [int(b) for b in grid.get("beam", [beam])]
+        lms = {}
+        for o in orders:
+            if ycfg.get("lm_arpa") or not ycfg.get("lm_corpus"):
+                lms[o] = lm  # ARPA file fixes the order; reuse as-is
+            else:
+                cs_set = set(charset)
+                with open(ycfg["lm_corpus"]) as fh:
+                    lms[o] = CharNgramLM(order=o).fit(
+                        [t for t in ("".join(c for c in l if c in cs_set)
+                                     for l in fh) if t])
+        best = None
+        for o in orders:
+            for w in weights:
+                for bm in beams:
+                    cer = corpus_cer(rescore_all(lms[o], w, bm), gts)
+                    point = {"lm_order": o, "lm_weight": w, "beam": bm,
+                             "ngram_CER": cer, "greedy_CER": greedy_cer,
+                             "n": len(gts)}
+                    print(json.dumps(point), flush=True)
+                    if best is None or cer < best["ngram_CER"]:
+                        best = point
+        print(json.dumps({"best": best}))
+        return best
+
+    lm_preds = rescore_all(lm, lm_weight, beam)
     result = {
-        "greedy_CER": corpus_cer(greedy_preds, gts),
+        "greedy_CER": greedy_cer,
         "ngram_CER": corpus_cer(lm_preds, gts),
         "n": len(gts),
     }

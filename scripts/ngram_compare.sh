@@ -21,3 +21,14 @@ fi
 
 python -m dtlr_tpu.ngram.rescore \
   --config_path dtlr_tpu/ngram/synthetic_r3.yaml --max_images 200
+
+# natural-text eval: word-corpus rendered lines + disjoint-split LM —
+# the config that can show a real LM delta (random-char lines above are
+# the no-structure control). Corpus files are built by
+# scripts/harvest_corpus.py (committed outputs exist from round 3).
+if [ -s outputs/corpus_words_train.txt ]; then
+  python -m dtlr_tpu.ngram.rescore \
+    --config_path dtlr_tpu/ngram/synthetic_r3_words.yaml --max_images 200
+else
+  echo "[ngram] no words corpus — skipping natural-text comparison"
+fi
