@@ -32,6 +32,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # BENCH_TINY=1: shrink the model/geometry and force CPU so the whole
+    # bench code path (scan-loop timing, cost_analysis MFU, the batch-
+    # scaling points below) can be smoke-tested without the chip. The
+    # numbers it prints are meaningless; only the real-TPU default run
+    # is a benchmark.
+    tiny = bool(os.environ.get("BENCH_TINY"))
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+
     # persistent XLA compile cache (same dir the trainers use): the
     # flagship forward+scan programs compile in ~8-10 min through this
     # sandbox's compile helper; with the cache a re-bench (e.g. the
@@ -56,22 +65,27 @@ def main():
     # deformable = 13.8 lines/s/chip; shared-offsets deformable
     # encoder = 25.3; windowed encoder + deform decoder = 97.
     model = DINO(
-        num_classes=166, num_queries=900, hidden_dim=256, n_heads=8,
-        num_encoder_layers=6, num_decoder_layers=6, d_ffn=2048,
+        num_classes=166, num_queries=24 if tiny else 900,
+        hidden_dim=32 if tiny else 256, n_heads=4 if tiny else 8,
+        num_encoder_layers=1 if tiny else 6,
+        num_decoder_layers=2 if tiny else 6,
+        d_ffn=64 if tiny else 2048,
         num_feature_levels=4, use_dn=True, dn_number=100,
         # norm_kind follows the committed flagship recipe
         # (configs/Latin_TPU.py: GroupNorm, the from-scratch ablation
         # winner) so the bench measures the model we actually train;
         # round-2 numbers were frozen_bn (affine-foldable, ~equal cost)
         dn_labelbook_size=167, max_targets=256, norm_kind="group",
-        shared_offsets=True, encoder_type="windowed", encoder_win=32,
+        shared_offsets=True, encoder_type="windowed",
+        encoder_win=8 if tiny else 32,
         decoder_ca="dense", dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(0)
     # IAM eval geometry: ~85x1333 lines -> bucket 128x1344
-    B, H, W = 8, 128, 1344
+    B, H, W = (2, 64, 128) if tiny else (8, 128, 1344)
     images = jax.random.normal(rng, (B, H, W, 3), jnp.float32)
-    valid_hw = jnp.tile(jnp.asarray([[96, 1333]], jnp.int32), (B, 1))
+    valid_hw = jnp.tile(
+        jnp.asarray([[48, 120] if tiny else [96, 1333]], jnp.int32), (B, 1))
     # jit the init: unjitted flax init dispatches thousands of ops
     # individually (very slow over a remote-device tunnel)
     init = jax.jit(lambda r, im, vh: model.init({"params": r}, im, vh, None, train=False))
@@ -125,12 +139,35 @@ def main():
     rec = {
         "metric": "line_inference_throughput",
         "value": round(lines_per_sec, 2),
-        "unit": "lines/sec/chip (B=8, 128x1344, bf16)",
+        "unit": f"lines/sec/chip (B={B}, {H}x{W}, bf16)",
         "vs_baseline": round(lines_per_sec / REFERENCE_FAITHFUL_LINES_PER_SEC, 2),
     }
     if mfu is not None:
         rec["mfu"] = round(mfu, 4)
         rec["fwd_tflops"] = round(flops_fwd / 1e12, 3)
+
+    # max-throughput point: same model/geometry at B=32 — serving-style
+    # batching amortizes the per-dispatch fixed cost and fills the MXU
+    # better than the protocol-matched B=8 headline (which stays the
+    # headline so BENCH_r* stay comparable round to round)
+    for B_big in (32, 16):
+        try:
+            images_big = jax.random.normal(rng, (B_big, H, W, 3), jnp.float32)
+            valid_big = jnp.tile(valid_hw[:1], (B_big, 1))
+            float(forward_loop(params, images_big, valid_big))
+            float(forward_loop(params, images_big, valid_big))
+            t0 = time.perf_counter()
+            float(forward_loop(params, images_big, valid_big))
+            dt_big = time.perf_counter() - t0
+            rec[f"value_b{B_big}"] = round(B_big * iters / dt_big, 2)
+            if mfu is not None and flops_fwd > 0:
+                # FLOPs scale linearly in batch for this model (no
+                # cross-sample compute); reuse the B=8 cost analysis
+                rec[f"mfu_b{B_big}"] = round(
+                    (flops_fwd * B_big / B) / (dt_big / iters) / PEAK_BF16, 4)
+            break
+        except Exception:
+            continue
     print(json.dumps(rec))
 
 

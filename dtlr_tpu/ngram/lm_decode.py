@@ -28,20 +28,30 @@ import numpy as np
 
 
 class CharNgramLM:
-    """Char-level n-gram LM with add-k smoothing and backoff.
+    """Char-level n-gram LM scoring log10 P(c | context).
 
-    Scores log10 P(c | context) like kenlm's per-char queries. Can be
-    built from a corpus or loaded from an ARPA file (the format kenlm
-    emits; reference ngram/train_n_gram.sh builds a 6-gram)."""
+    ``smoothing="stupid"`` is stupid-backoff (alpha 0.4); ``"kn"`` is
+    interpolated Kneser-Ney with one absolute discount per order
+    (D_n = n1/(n1+2*n2)), the smoothing family kenlm's lmplz uses for
+    the reference's LMs (reference ngram/train_n_gram.sh). Unlike
+    stupid-backoff, KN conditionals are properly normalized
+    (sum_c P(c|ctx) == 1). Can be built from a corpus or loaded from an
+    ARPA file (the format kenlm emits; the reference builds a 6-gram)."""
 
-    def __init__(self, order: int = 6, add_k: float = 0.01):
+    def __init__(self, order: int = 6, add_k: float = 0.01,
+                 smoothing: str = "stupid"):
+        if smoothing not in ("stupid", "kn"):
+            raise ValueError(f"unknown smoothing {smoothing!r}")
         self.order = order
         self.add_k = add_k
+        self.smoothing = smoothing
         self.counts: List[Dict[str, Dict[str, float]]] = [
             defaultdict(lambda: defaultdict(float)) for _ in range(order)
         ]
         self.vocab: set = set()
         self.arpa: Optional[Dict[int, Dict[str, Tuple[float, float]]]] = None
+        self._totals: Optional[List[Dict[str, float]]] = None
+        self._kn: Optional[tuple] = None
 
     # ---------------------------------------------------------- training
     def fit(self, lines: Sequence[str]):
@@ -53,25 +63,86 @@ class CharNgramLM:
                 for n in range(self.order):
                     ctx = text[i - n : i]
                     self.counts[n][ctx][c] += 1
+        self._totals = None
+        self._kn = None
         return self
 
     def logp(self, context: str, char: str) -> float:
-        """log10 P(char | context) with stupid-backoff over orders."""
+        """log10 P(char | context) under the configured smoothing."""
         if self.arpa is not None:
             return self._arpa_logp(context, char)
+        if self.smoothing == "kn":
+            return self._kn_logp(context, char)
         context = ("^" * (self.order - 1) + context)[-(self.order - 1):]
+        if self._totals is None:
+            self._totals = [dict() for _ in range(self.order)]
         alpha = 1.0
         for n in range(self.order - 1, -1, -1):
             ctx = context[len(context) - n:] if n else ""
             bucket = self.counts[n].get(ctx)
             if bucket:
-                total = sum(bucket.values())
+                total = self._totals[n].get(ctx)
+                if total is None:
+                    total = sum(bucket.values())
+                    self._totals[n][ctx] = total
                 cnt = bucket.get(char, 0.0)
                 if cnt > 0:
                     return math.log10(alpha * cnt / total)
             alpha *= 0.4
         v = max(len(self.vocab), 2)
         return math.log10(self.add_k / v) + math.log10(max(alpha, 1e-12))
+
+    # ------------------------------------------------- Kneser-Ney path
+    def _prepare_kn(self) -> None:
+        """Precompute KN tables: raw counts at the top order,
+        continuation counts (distinct left-extension types) below, plus
+        per-context (total, distinct) aggregates and per-order
+        discounts."""
+        O = self.order
+        tables: List[Dict[str, Dict[str, float]]] = [None] * O  # type: ignore
+        tables[O - 1] = {c: dict(b) for c, b in self.counts[O - 1].items()}
+        for n in range(O - 2, -1, -1):
+            cc: Dict[str, Dict[str, float]] = {}
+            for ctx1, bucket in self.counts[n + 1].items():
+                sub = ctx1[1:]
+                d = cc.setdefault(sub, {})
+                for c in bucket:
+                    d[c] = d.get(c, 0.0) + 1.0
+            tables[n] = cc
+        agg: List[Dict[str, Tuple[float, int]]] = []
+        discounts: List[float] = []
+        for n in range(O):
+            a: Dict[str, Tuple[float, int]] = {}
+            n1 = n2 = 0
+            for ctx, bucket in tables[n].items():
+                a[ctx] = (float(sum(bucket.values())), len(bucket))
+                for v in bucket.values():
+                    if v == 1.0:
+                        n1 += 1
+                    elif v == 2.0:
+                        n2 += 1
+            agg.append(a)
+            discounts.append(
+                n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.75)
+        self._kn = (tables, agg, discounts)
+
+    def _kn_logp(self, context: str, char: str) -> float:
+        if self._kn is None:
+            self._prepare_kn()
+        tables, agg, discounts = self._kn
+        ctx_full = (("^" * (self.order - 1) + context)[-(self.order - 1):]
+                    if self.order > 1 else "")
+        p = 1.0 / max(len(self.vocab), 2)
+        for n in range(self.order):
+            ctx = ctx_full[len(ctx_full) - n:] if n else ""
+            bucket = tables[n].get(ctx)
+            if not bucket:
+                continue
+            total, distinct = agg[n][ctx]
+            d = discounts[n]
+            cnt = bucket.get(char, 0.0)
+            p = max(cnt - d, 0.0) / total + d * distinct / total * p
+        return math.log10(max(p, 1e-12))
 
     # ---------------------------------------------------------- ARPA io
     @classmethod

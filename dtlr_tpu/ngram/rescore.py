@@ -119,19 +119,23 @@ def main(argv=None):
     cfg.num_classes = len(charset)
     cfg.dn_labelbook_size = len(charset) + 1
 
-    lm = None
-    if ycfg.get("lm_arpa"):
-        lm = CharNgramLM.from_arpa(ycfg["lm_arpa"])
-    elif ycfg.get("lm_corpus"):
+    def fit_corpus_lm(order: int, smoothing: str) -> CharNgramLM:
         # fit on charset-filtered text so the LM vocabulary matches the
         # label alphabet (the generator strips non-charset chars — incl.
         # space for the 64-char no-accent set — from rendered labels)
         cs_set = set(charset)
         with open(ycfg["lm_corpus"]) as fh:
-            lm = CharNgramLM(order=int(ycfg.get("lm_order", 6))).fit(
+            return CharNgramLM(order=order, smoothing=smoothing).fit(
                 [t for t in ("".join(c for c in l if c in cs_set)
                              for l in fh) if t]
             )
+
+    lm_smoothing = str(ycfg.get("lm_smoothing", "stupid"))
+    lm = None
+    if ycfg.get("lm_arpa"):
+        lm = CharNgramLM.from_arpa(ycfg["lm_arpa"])
+    elif ycfg.get("lm_corpus"):
+        lm = fit_corpus_lm(int(ycfg.get("lm_order", 6)), lm_smoothing)
 
     def src():
         for i in range(len(ds)):
@@ -209,31 +213,32 @@ def main(argv=None):
         grid = {}
         for part in args.sweep_lm.split(";"):
             k, _, v = part.partition("=")
-            grid[k.strip()] = [float(x) for x in v.split(",") if x]
-        orders = [int(o) for o in grid.get("lm_order", [ycfg.get("lm_order", 6)])]
-        weights = grid.get("lm_weight", [lm_weight])
-        beams = [int(b) for b in grid.get("beam", [beam])]
+            grid[k.strip()] = [x.strip() for x in v.split(",") if x.strip()]
+        orders = [int(float(o))
+                  for o in grid.get("lm_order", [ycfg.get("lm_order", 6)])]
+        weights = [float(w) for w in grid.get("lm_weight", [lm_weight])]
+        beams = [int(float(b)) for b in grid.get("beam", [beam])]
+        smooths = [str(s) for s in grid.get("lm_smoothing", [lm_smoothing])]
         lms = {}
         for o in orders:
-            if ycfg.get("lm_arpa") or not ycfg.get("lm_corpus"):
-                lms[o] = lm  # ARPA file fixes the order; reuse as-is
-            else:
-                cs_set = set(charset)
-                with open(ycfg["lm_corpus"]) as fh:
-                    lms[o] = CharNgramLM(order=o).fit(
-                        [t for t in ("".join(c for c in l if c in cs_set)
-                                     for l in fh) if t])
+            for s in smooths:
+                if ycfg.get("lm_arpa") or not ycfg.get("lm_corpus"):
+                    lms[(o, s)] = lm  # ARPA file fixes the order; reuse
+                else:
+                    lms[(o, s)] = fit_corpus_lm(o, s)
         best = None
         for o in orders:
-            for w in weights:
-                for bm in beams:
-                    cer = corpus_cer(rescore_all(lms[o], w, bm), gts)
-                    point = {"lm_order": o, "lm_weight": w, "beam": bm,
-                             "ngram_CER": cer, "greedy_CER": greedy_cer,
-                             "n": len(gts)}
-                    print(json.dumps(point), flush=True)
-                    if best is None or cer < best["ngram_CER"]:
-                        best = point
+            for s in smooths:
+                for w in weights:
+                    for bm in beams:
+                        cer = corpus_cer(rescore_all(lms[(o, s)], w, bm), gts)
+                        point = {"lm_order": o, "lm_smoothing": s,
+                                 "lm_weight": w, "beam": bm,
+                                 "ngram_CER": cer, "greedy_CER": greedy_cer,
+                                 "n": len(gts)}
+                        print(json.dumps(point), flush=True)
+                        if best is None or cer < best["ngram_CER"]:
+                            best = point
         print(json.dumps({"best": best}))
         return best
 

@@ -200,3 +200,39 @@ def test_canvas_background_dir(tmp_path):
         assert np.asarray(bg).mean() < 160
     finally:
         canvas.set_background_dir(None)
+
+
+def test_kn_lm_normalized_and_prefers_trained_sequences():
+    # interpolated Kneser-Ney: conditionals are a proper distribution
+    # (reference LMs are kenlm/lmplz KN models, ngram/train_n_gram.sh)
+    corpus = ["the cat sat", "the dog ran", "the cow ate"] * 4
+    lm = CharNgramLM(order=4, smoothing="kn").fit(corpus)
+    for ctx in ["th", "the ", "", "zzz", "e c"]:
+        s = sum(10.0 ** lm.logp(ctx, c) for c in lm.vocab)
+        assert abs(s - 1.0) < 1e-6, (ctx, s)
+    assert lm.logp("th", "e") > lm.logp("th", "q")
+    # continuation-count effect: "h" almost always follows "t" here, so
+    # even in an unseen context KN keeps P(h|...t) well above a char
+    # that never continues anything
+    assert lm.logp("zzt", "h") > lm.logp("zzt", "q")
+
+
+def test_kn_beam_search_end_to_end():
+    lm = CharNgramLM(order=3, smoothing="kn").fit(["abab", "abba"] * 5)
+    charset = list("ab")
+    T = 4
+    probs = np.full((T, 3), 0.05, np.float32)
+    for t, k in enumerate([1, 2, 1, 2]):  # a b a b
+        probs[t, k] = 0.8
+    out = ctc_beam_search(probs, charset, lm=lm, lm_weight=0.3, beam=8)
+    assert out == "abab"
+
+
+def test_kn_matches_stupid_vocab_and_caching():
+    corpus = ["hello world", "help wanted"] * 3
+    a = CharNgramLM(order=3, smoothing="stupid").fit(corpus)
+    b = CharNgramLM(order=3, smoothing="kn").fit(corpus)
+    assert a.vocab == b.vocab
+    # repeated queries hit the cached aggregates and stay identical
+    assert b.logp("he", "l") == b.logp("he", "l")
+    assert a.logp("he", "l") == a.logp("he", "l")
