@@ -126,23 +126,29 @@ class CharNgramLM:
                 n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.75)
         self._kn = (tables, agg, discounts)
 
-    def _kn_logp(self, context: str, char: str) -> float:
-        if self._kn is None:
-            self._prepare_kn()
+    def _kn_p_upto(self, ctx: str, char: str) -> float:
+        """Interpolated-KN P(char | ctx) using levels 0..len(ctx) only
+        (level-k context = the length-k suffix of ``ctx``); missing
+        contexts are skipped (implicit backoff weight 1)."""
         tables, agg, discounts = self._kn
-        ctx_full = (("^" * (self.order - 1) + context)[-(self.order - 1):]
-                    if self.order > 1 else "")
         p = 1.0 / max(len(self.vocab), 2)
-        for n in range(self.order):
-            ctx = ctx_full[len(ctx_full) - n:] if n else ""
-            bucket = tables[n].get(ctx)
+        for n in range(len(ctx) + 1):
+            c_n = ctx[len(ctx) - n:] if n else ""
+            bucket = tables[n].get(c_n)
             if not bucket:
                 continue
-            total, distinct = agg[n][ctx]
+            total, distinct = agg[n][c_n]
             d = discounts[n]
             cnt = bucket.get(char, 0.0)
             p = max(cnt - d, 0.0) / total + d * distinct / total * p
-        return math.log10(max(p, 1e-12))
+        return p
+
+    def _kn_logp(self, context: str, char: str) -> float:
+        if self._kn is None:
+            self._prepare_kn()
+        ctx_full = (("^" * (self.order - 1) + context)[-(self.order - 1):]
+                    if self.order > 1 else "")
+        return math.log10(max(self._kn_p_upto(ctx_full, char), 1e-12))
 
     # ---------------------------------------------------------- ARPA io
     @classmethod
@@ -180,11 +186,24 @@ class CharNgramLM:
         binaries (reference ngram/train_n_gram.sh runs lmplz -> .arpa;
         this sandbox has no kenlm, so the python LM exports the same
         artifact format its own ``from_arpa``/kenlm consumers read).
-        Probabilities are the add-k conditionals of each observed
-        n-gram; contexts carry a stupid-backoff weight log10(0.4).
+        For ``smoothing="stupid"`` probabilities are the add-k
+        conditionals of each observed n-gram and contexts carry the
+        stupid-backoff weight log10(0.4) (an approximation: the
+        in-memory stupid path also discounts through *unobserved*
+        context levels, which backoff-ARPA cannot express).
+
+        For ``smoothing="kn"`` the export is EXACT: interpolated-KN
+        n-gram conditionals with per-context backoff weights
+        d_n * distinct / total — kenlm's own interpolated-ARPA
+        convention — so ``from_arpa(to_arpa(lm))`` reproduces
+        ``lm.logp`` bit-for-close on every in-vocab query (out-of-vocab
+        chars hit the loader's -7 floor instead of the uniform base).
         """
         if not any(self.counts[0].values()):
             raise ValueError("to_arpa requires a fitted counts model")
+        if self.smoothing == "kn":
+            self._write_arpa_kn(path)
+            return
         V = max(len(self.vocab), 1)
         bo = math.log10(0.4)
         sections: List[List[str]] = []
@@ -201,6 +220,49 @@ class CharNgramLM:
                     tail = f"\t{bo:.6f}" if n + 1 < self.order else ""
                     rows.append(f"{logp:.6f}\t{gram}{tail}")
             sections.append(rows)
+        self._write_arpa_sections(path, sections)
+
+    def _write_arpa_kn(self, path: str) -> None:
+        if self._kn is None:
+            self._prepare_kn()
+        tables, agg, discounts = self._kn
+        # section m holds m-token entries: key -> [logp, backoff|None]
+        entries: List[Dict[str, list]] = [dict() for _ in range(self.order)]
+        for n in range(self.order):           # level n predicts gram len n+1
+            for ctx, bucket in tables[n].items():
+                for c in bucket:
+                    key = " ".join(list(ctx) + [c])
+                    logp = math.log10(
+                        max(self._kn_p_upto(ctx, c), 1e-12))
+                    entries[n].setdefault(key, [logp, None])[0] = logp
+        # every level-m context (m>=1) carries its backoff weight on its
+        # own m-gram entry (ARPA looks it up when an (m+1)-gram misses)
+        for m in range(1, self.order):
+            for ctx in tables[m]:
+                total, distinct = agg[m][ctx]
+                b = math.log10(
+                    max(discounts[m] * distinct / total, 1e-12))
+                key = " ".join(list(ctx))
+                e = entries[m - 1].get(key)
+                if e is None:
+                    # context never predicted as a gram itself (e.g. a
+                    # "^"-padding prefix): emit it with its own
+                    # interpolated probability so the backoff has a home
+                    logp = math.log10(
+                        max(self._kn_p_upto(ctx[:-1], ctx[-1]), 1e-12))
+                    e = entries[m - 1].setdefault(key, [logp, None])
+                e[1] = b
+        sections = []
+        for n in range(self.order):
+            rows = []
+            for key, (logp, b) in sorted(entries[n].items()):
+                tail = f"\t{b:.8f}" if b is not None else ""
+                rows.append(f"{logp:.8f}\t{key}{tail}")
+            sections.append(rows)
+        self._write_arpa_sections(path, sections)
+
+    @staticmethod
+    def _write_arpa_sections(path: str, sections: List[List[str]]) -> None:
         with open(path, "w", encoding="utf-8") as fh:
             fh.write("\\data\\\n")
             for n, rows in enumerate(sections):

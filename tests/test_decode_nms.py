@@ -236,3 +236,35 @@ def test_kn_matches_stupid_vocab_and_caching():
     # repeated queries hit the cached aggregates and stay identical
     assert b.logp("he", "l") == b.logp("he", "l")
     assert a.logp("he", "l") == a.logp("he", "l")
+
+def test_kn_arpa_roundtrip_exact(tmp_path):
+    # exact round trip: the KN export stores interpolated conditionals
+    # + d*distinct/total backoff weights (kenlm's interpolated-ARPA
+    # convention), so the ARPA evaluator reproduces the in-memory
+    # model on every in-vocab query, seen or unseen context
+    corpus = ["the cat sat on the mat", "the dog sat", "a cow ate"] * 3
+    lm = CharNgramLM(order=4, smoothing="kn").fit(corpus)
+    path = str(tmp_path / "kn.arpa")
+    lm.to_arpa(path)
+    lm2 = CharNgramLM.from_arpa(path)
+    assert lm2.order == 4
+    ctxs = ["", "t", "th", "the ", "he c", "zzz", "xq",
+            "the cat sat on", "a cow", " a "]
+    for ctx in ctxs:
+        for c in sorted(lm.vocab):
+            a, b = lm.logp(ctx, c), lm2.logp(ctx, c)
+            assert abs(a - b) < 1e-6, (ctx, c, a, b)
+    # the loaded model is still a proper distribution over the vocab
+    for ctx in ["th", "", "zzq"]:
+        s = sum(10.0 ** lm2.logp(ctx, c) for c in lm.vocab)
+        assert abs(s - 1.0) < 1e-5, (ctx, s)
+
+
+def test_stupid_arpa_export_still_parses(tmp_path):
+    lm = CharNgramLM(order=3, smoothing="stupid").fit(["abc abd"] * 3)
+    path = str(tmp_path / "st.arpa")
+    lm.to_arpa(path)
+    lm2 = CharNgramLM.from_arpa(path)
+    # approximate by design (add-k vs ML + unobserved-level discounts);
+    # seen grams under observed contexts stay close
+    assert abs(lm.logp("ab", "c") - lm2.logp("ab", "c")) < 0.2
