@@ -5,18 +5,18 @@
 # Same protocol as round-2's stage2_finetune.sh, with the GN recipe
 # options so the restored param structure matches, and per-stage status.
 #
-# Usage: bash scripts/stage3_finetune.sh <pretrain_dir_or_npz> [steps1] [steps2]
+# Usage: bash scripts/stage3_finetune.sh <pretrain_dir_or_npz> [steps1] [steps2] [out_dir]
 set -u
 PRE=${1:-/root/repo/outputs/r3run}
 S1=${2:-1500}
 S2=${3:-4000}
+OUT=${4:-/root/repo/outputs/finetune_r3}
 SNAP=/tmp/stage3_src
 rm -rf "$SNAP" && mkdir -p "$SNAP"
 cp -r /root/repo/dtlr_tpu "$SNAP/"
 cd "$SNAP"
 export PYTHONPATH="$SNAP:${PYTHONPATH:-}"
 
-OUT=/root/repo/outputs/finetune_r3
 COMMON_OPTS="batch_size=8 max_targets=64 'data_aug_scales=[128]' \
   data_aug_max_size=1024 image_w_max=1024 image_h_max=192 \
   synthetic_max_words=5 synthetic_charset=no_accent eval_epoch=1 \
