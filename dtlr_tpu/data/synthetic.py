@@ -51,11 +51,21 @@ class SyntheticSample:
 
 
 def _font_supports(font: ImageFont.FreeTypeFont, chars: str) -> bool:
+    """True only if the font draws actual ink for every probed char.
+
+    A zero-dimension mask OR an all-zero mask (getbbox() is None) means
+    the glyph renders blank — matplotlib's STIXNonUni*/DejaVu*Display
+    fonts return (w, 0) masks for every latin char, which the previous
+    `size == (0, 0)` test missed. Those fonts produced ~21% fully blank
+    text layers (labels without any visible ink) in every synthetic
+    train/eval batch — the direct cause of the nms_cer ~0.225 plateau
+    (43/200 eval lines decoded empty; see docs/ROUND3_NOTES.md)."""
     try:
         for c in chars:
             if c == " ":
                 continue
-            if font.getmask(c).size == (0, 0):
+            m = font.getmask(c)
+            if m.size[0] == 0 or m.size[1] == 0 or m.getbbox() is None:
                 return False
         return True
     except Exception:
@@ -226,6 +236,12 @@ class SyntheticLineGenerator:
                 if not self._font_ok[key]:
                     continue
                 layer, boxes = render_text_line(rng, text, font_path)
+                # belt-and-suspenders: a label must come with visible
+                # ink; retry if the layer rendered blank anyway (fonts
+                # can pass the probe chars yet fail others)
+                if np.asarray(layer)[:, :, 3].max() == 0:
+                    self._font_ok[key] = False
+                    continue
                 if self.plain_background:
                     from PIL import Image
 

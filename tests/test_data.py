@@ -98,3 +98,36 @@ def test_gnt_parser(tmp_path):
     assert s["image"].ndim == 3
     assert len(s["labels"]) == len(s["boxes"])
     assert set(s["text"]) <= set(chars)
+
+
+def test_font_filter_rejects_inkless_fonts():
+    # matplotlib's STIXNonUni*/DejaVu*Display fonts return (w, 0) masks
+    # for every latin glyph: they pass a size==(0,0) test but draw
+    # nothing. These produced ~21% fully blank labelled lines (the
+    # nms_cer 0.225 plateau — 43/200 eval lines decoded empty).
+    import glob as g
+    from PIL import ImageFont
+    from dtlr_tpu.data.synthetic import _font_supports, discover_fonts
+
+    broken = [p for p in g.glob(
+        "/opt/venv/lib/**/mpl-data/fonts/ttf/STIXNonUni*.ttf", recursive=True)]
+    for p in broken:
+        f = ImageFont.truetype(p, 36)
+        assert not _font_supports(f, "abcXYZ09"), p
+    for name in ("STIXNonUni", "SansDisplay", "SerifDisplay"):
+        assert all(name not in p or not _font_supports(
+            ImageFont.truetype(p, 36), "abcXYZ09") for p in discover_fonts())
+
+
+def test_synthetic_samples_always_have_ink():
+    import numpy as np
+    from dtlr_tpu.data.charset import DEFAULT_CHARSET_NO_ACCENT, load_default_charset
+    from dtlr_tpu.data.synthetic import SyntheticLineGenerator
+
+    gen = SyntheticLineGenerator(
+        charset=load_default_charset(DEFAULT_CHARSET_NO_ACCENT),
+        seed=123, max_words=5)
+    for _ in range(40):
+        s = gen.sample()
+        # visible ink: a labelled line must never be a blank canvas
+        assert float(np.asarray(s.image).std()) > 0.02, s.text
