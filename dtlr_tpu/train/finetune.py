@@ -95,16 +95,42 @@ def main(argv=None):
             load_default_charset(DEFAULT_CHARSET_NO_ACCENT)
             if sub == "no_accent" else None
         )
+
+        # natural-text mixing: render windows of a prose corpus for a
+        # fraction of the lines (the reference pretrain draws wikitext
+        # text half the time, synthetic_lines_general.py:160-183; the
+        # shipped text assets are absent so a harvested corpus file
+        # stands in). corpus_prob only applies to the corpus-file path;
+        # the remaining lines keep the random-char draw that covers the
+        # full charset.
+        def _corpus_lines(key):
+            path = cfg.get_default(key, None)
+            if not path:
+                return None
+            with open(path) as fh:
+                return [l.strip() for l in fh if l.strip()]
+
+        corpus_kw = dict(
+            corpus_lines=_corpus_lines("synthetic_corpus_file"),
+            corpus_prob=cfg.get_default("synthetic_corpus_prob", 0.7),
+        )
+        corpus_val_kw = dict(
+            corpus_lines=(_corpus_lines("synthetic_corpus_val_file")
+                          or corpus_kw["corpus_lines"]),
+            corpus_prob=corpus_kw["corpus_prob"],
+        )
         g_tr = SyntheticLineGenerator(
             charset=target_charset,
             seed=args.seed, max_words=cfg.get_default("synthetic_max_words", 8),
             plain_background=cfg.get_default("plain_background", False),
+            **corpus_kw,
         )
         g_va = SyntheticLineGenerator(
             charset=target_charset,
             seed=args.seed + 999,
             max_words=cfg.get_default("synthetic_max_words", 8),
             plain_background=cfg.get_default("plain_background", False),
+            **corpus_val_kw,
         )
         va_samples = [g_va.sample_dict() for _ in range(64)]
 

@@ -17,11 +17,28 @@ cp -r /root/repo/dtlr_tpu "$SNAP/"
 cd "$SNAP"
 export PYTHONPATH="$SNAP:${PYTHONPATH:-}"
 
+# natural-text mixing: half the finetune lines render windows of the
+# harvested prose corpus (reference pretrain draws wikitext text half
+# the time); the val generator uses the disjoint val split, so the
+# per-epoch finetune eval doubles as a natural-text CER probe.
 COMMON_OPTS="batch_size=8 max_targets=64 'data_aug_scales=[128]' \
   data_aug_max_size=1024 image_w_max=1024 image_h_max=192 \
   synthetic_max_words=5 synthetic_charset=no_accent eval_epoch=1 \
   batch_norm_type=group \
   compilation_cache_dir=/root/repo/outputs/xla_cache"
+CW_TRAIN=/root/repo/outputs/corpus_words_train_big.txt
+CW_VAL=/root/repo/outputs/corpus_words_val.txt
+if [ ! -s "$CW_TRAIN" ]; then     # harvested corpus is regenerable
+  (cd /root/repo && env PYTHONPATH= python scripts/harvest_corpus.py \
+     outputs/corpus_words 40000 \
+   && cp outputs/corpus_words_train.txt "$CW_TRAIN") || true
+fi
+if [ -s "$CW_TRAIN" ] && [ -s "$CW_VAL" ]; then
+  COMMON_OPTS="$COMMON_OPTS synthetic_corpus_file=$CW_TRAIN \
+    synthetic_corpus_val_file=$CW_VAL synthetic_corpus_prob=0.5"
+else
+  echo "[stage3] no words corpus — finetuning on random-char lines only"
+fi
 
 # stage 1: fresh class heads + smart mapping, heads-only optimizer
 if ! eval python -m dtlr_tpu.train.finetune \
