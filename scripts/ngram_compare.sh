@@ -26,7 +26,13 @@ python -m dtlr_tpu.ngram.rescore \
 # the config that can show a real LM delta (random-char lines above are
 # the no-structure control). Corpus files are built by
 # scripts/harvest_corpus.py (committed outputs exist from round 3).
-if [ -s outputs/corpus_words_train.txt ]; then
+if [ ! -s outputs/corpus_words_train_big.txt ]; then
+  # harvested corpus is regenerable from the image's package docs
+  env PYTHONPATH= python scripts/harvest_corpus.py outputs/corpus_words 40000 \
+    && cp outputs/corpus_words_train.txt outputs/corpus_words_train_big.txt \
+    || true
+fi
+if [ -s outputs/corpus_words_train_big.txt ] && [ -s outputs/corpus_words_val.txt ]; then
   python -m dtlr_tpu.ngram.rescore \
     --config_path dtlr_tpu/ngram/synthetic_r3_words.yaml --max_images 200
 else
