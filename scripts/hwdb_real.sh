@@ -33,7 +33,7 @@ OPTS="batch_size=8 max_targets=64 'data_aug_scales=[96]' \
   compilation_cache_dir=/root/repo/outputs/xla_cache"
 
 status=0
-eval python -m dtlr_tpu.train.pretrain \
+eval timeout 6000 python -m dtlr_tpu.train.pretrain \
   -c "$SNAP/dtlr_tpu/configs/Chinese.py" \
   --dataset_file HWDB_synth --data_root "$GNT_ROOT" \
   --output_dir "$OUT" --warm_start_npz "$NPZ" \
@@ -42,7 +42,7 @@ eval python -m dtlr_tpu.train.pretrain \
   || status=$?
 if [ "$status" -ne 0 ]; then echo "[hwdb_real] pretrain FAILED ($status)"; exit $status; fi
 
-eval python -m dtlr_tpu.eval.evaluate \
+eval timeout 1800 python -m dtlr_tpu.eval.evaluate \
   --dataset HWDB_synth --mode val --config "$OUT/config_cfg.py" \
   --ckpt_dir "$OUT" --data_root "$GNT_ROOT" \
   --metrics chinese --TH 0.2 --NMS 0.5 --max_images 64 --batch_size 8 \

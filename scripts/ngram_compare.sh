@@ -19,7 +19,7 @@ with open("outputs/ngram_corpus.txt", "w") as fh:
 EOF
 fi
 
-python -m dtlr_tpu.ngram.rescore \
+timeout 2700 python -m dtlr_tpu.ngram.rescore \
   --config_path dtlr_tpu/ngram/synthetic_r3.yaml --max_images 200
 
 # natural-text eval: word-corpus rendered lines + disjoint-split LM —
@@ -33,7 +33,7 @@ if [ ! -s outputs/corpus_words_train_big.txt ]; then
     || true
 fi
 if [ -s outputs/corpus_words_train_big.txt ] && [ -s outputs/corpus_words_val.txt ]; then
-  python -m dtlr_tpu.ngram.rescore \
+  timeout 2700 python -m dtlr_tpu.ngram.rescore \
     --config_path dtlr_tpu/ngram/synthetic_r3_words.yaml --max_images 200
 else
   echo "[ngram] no words corpus — skipping natural-text comparison"

@@ -41,7 +41,7 @@ else
 fi
 
 # stage 1: fresh class heads + smart mapping, heads-only optimizer
-if ! eval python -m dtlr_tpu.train.finetune \
+if ! eval timeout 3600 python -m dtlr_tpu.train.finetune \
   -c "$SNAP/dtlr_tpu/configs/Latin_CTC_TPU.py" \
   --dataset_file synthetic --pretrain_dir "$PRE" \
   --output_dir "$OUT" --new_class_embedding --smart_mapping \
@@ -52,7 +52,7 @@ fi
 echo "[stage3] stage-1 done"
 
 # stage 2: resume, full model
-if ! eval python -m dtlr_tpu.train.finetune \
+if ! eval timeout 5400 python -m dtlr_tpu.train.finetune \
   -c "$SNAP/dtlr_tpu/configs/Latin_CTC_TPU.py" \
   --dataset_file synthetic --output_dir "$OUT" \
   --resume_finetuning --epochs 2 --seed 4 \
@@ -62,7 +62,7 @@ fi
 echo "[stage3] stage-2 done"
 
 # evaluate: greedy + NMS sweep -> stats.json
-if ! eval python -m dtlr_tpu.eval.evaluate \
+if ! eval timeout 3600 python -m dtlr_tpu.eval.evaluate \
   --dataset synthetic --mode val --config "$OUT/config_cfg.py" \
   --ckpt_dir "$OUT" --sweep --max_images 200 --batch_size 8 \
   --options $COMMON_OPTS; then
