@@ -19,6 +19,25 @@ def load_default_charset(name: str = DEFAULT_CHARSET) -> List[str]:
         return json.load(fh)
 
 
+def resolve_synthetic_charset(sub: str):
+    """Map a ``synthetic_charset`` config value to a charset list (or
+    None = the full 166-char default).
+
+    ``no_accent_space`` is the 64-char no-accent set plus ' ': the
+    reference's real-data charsets all carry space (the 166-char default
+    has it at index 165, used e.g. as the word-erase label,
+    reference datasets/transforms.py:324-531), so a word-structured
+    synthetic finetune needs it too — it makes WER meaningful and gives
+    the per-word LM/lexicon decode its split class."""
+    if sub in (None, "", "default"):
+        return None
+    if sub == "no_accent":
+        return load_default_charset(DEFAULT_CHARSET_NO_ACCENT)
+    if sub == "no_accent_space":
+        return load_default_charset(DEFAULT_CHARSET_NO_ACCENT) + [" "]
+    raise ValueError(f"unknown synthetic_charset {sub!r}")
+
+
 def load_charset_file(path: str) -> List[str]:
     """Load a charset from .json or pickle; pickles may store code points
     (reference datasets/READ.py:52-54 decodes ints with chr())."""

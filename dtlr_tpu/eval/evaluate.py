@@ -186,16 +186,27 @@ def main(argv=None):
         # self-contained eval on freshly generated labelled lines; honors
         # the same synthetic_* config keys as the train/finetune drivers
         # so a finetuned model is scored on its target distribution
-        from ..data.charset import DEFAULT_CHARSET_NO_ACCENT, load_default_charset
+        from ..data.charset import resolve_synthetic_charset
         from ..data.synthetic import SyntheticLineGenerator
 
         sub = cfg.get_default("synthetic_charset", "default")
+        # natural-text eval: render word windows of the held-out prose
+        # corpus at synthetic_corpus_prob (pass
+        # synthetic_corpus_prob=1.0 for a pure natural-text protocol) —
+        # same keys as the train/finetune drivers
+        corpus_lines = None
+        c_path = (cfg.get_default("synthetic_corpus_val_file", None)
+                  or cfg.get_default("synthetic_corpus_file", None))
+        if c_path:
+            with open(c_path) as fh:
+                corpus_lines = [l.strip() for l in fh if l.strip()]
         gen = SyntheticLineGenerator(
-            charset=(load_default_charset(DEFAULT_CHARSET_NO_ACCENT)
-                     if sub == "no_accent" else None),
+            charset=resolve_synthetic_charset(sub),
             seed=123,
             max_words=cfg.get_default("synthetic_max_words", 8),
             plain_background=cfg.get_default("plain_background", False),
+            corpus_lines=corpus_lines,
+            corpus_prob=cfg.get_default("synthetic_corpus_prob", 0.5),
         )
         n = args.max_images if args.max_images > 0 else 100
         samples = [gen.sample_dict() for _ in range(n)]  # fixed eval set

@@ -287,6 +287,42 @@ class CharNgramLM:
         return -7.0 + acc
 
 
+class LexiconTrie:
+    """Prefix trie over word spellings — the hypothesis constraint of
+    flashlight's lexicon decoder (reference
+    prediction_helpers.py:76-91: ``ctc_decoder(lexicon=...)`` only
+    proposes words spelled in the lexicon file)."""
+
+    def __init__(self, words):
+        self.words: set = set()
+        self.children: Dict[str, set] = defaultdict(set)
+        for w in words:
+            w = w.strip()
+            if not w:
+                continue
+            self.words.add(w)
+            for i in range(len(w)):
+                self.children[w[:i]].add(w[i])
+
+    @classmethod
+    def from_file(cls, path: str) -> "LexiconTrie":
+        """flashlight lexicon format: 'word<TAB>w o r d |'
+        (the file preprocessing.write_lexicon emits)."""
+        words = []
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                w = line.split("\t", 1)[0].strip()
+                if w:
+                    words.append(w)
+        return cls(words)
+
+    def next_chars(self, prefix: str):
+        return self.children.get(prefix, ())
+
+    def is_word(self, prefix: str) -> bool:
+        return prefix in self.words
+
+
 def ctc_beam_search(
     probs: np.ndarray,          # (T, K+1) with blank at 0
     charset: Sequence[str],
@@ -294,14 +330,24 @@ def ctc_beam_search(
     lm_weight: float = 0.25,
     beam: int = 16,
     logits_temperature: float = 1.0,
-) -> str:
+    lexicon: Optional[LexiconTrie] = None,
+    return_score: bool = False,
+):
     """CTC prefix beam search with char-LM shallow fusion.
 
     probs rows need not be normalized (the temperature path of
     prediction_helpers.py multiplies logits before sigmoid upstream).
+
+    With ``lexicon`` set, hypotheses are constrained to trie prefixes
+    and the final pick must be a COMPLETE lexicon word — the contract
+    of flashlight's lexicon decoder (reference
+    prediction_helpers.py:76-91). Returns None when no complete-word
+    hypothesis survives (caller falls back to unconstrained).
+    With ``return_score`` the return value is ``(text, score)``.
     """
     T, K1 = probs.shape
     logp = np.log(np.clip(probs, 1e-12, None)) * logits_temperature
+    char_to_k = {c: i + 1 for i, c in enumerate(charset)}
     # beams: prefix -> (logp_blank, logp_nonblank, lm_score)
     beams: Dict[str, Tuple[float, float, float]] = {"": (0.0, -math.inf, 0.0)}
     NEG = -math.inf
@@ -322,15 +368,26 @@ def ctc_beam_search(
             # blank
             cand = new.get(prefix, (NEG, NEG, lms))
             new[prefix] = (logsumexp2(cand[0], total + logp[t, 0]), cand[1], lms)
-            for k in top_chars:
-                if k == 0:
-                    continue
+            if lexicon is None:
+                ks = [int(k) for k in top_chars if k != 0]
+            else:
+                # grow only along the trie; the last char stays eligible
+                # for the repeat (non-growing) extension
+                ks = sorted(
+                    {char_to_k[c] for c in lexicon.next_chars(prefix)
+                     if c in char_to_k}
+                    | ({char_to_k[prefix[-1]]}
+                       if prefix and prefix[-1] in char_to_k else set())
+                )
+            for k in ks:
                 c = charset[k - 1]
                 lp = logp[t, k]
                 if prefix and prefix[-1] == c:
                     # repeat char: extend nonblank only from blank state
                     cand = new.get(prefix, (NEG, NEG, lms))
                     new[prefix] = (cand[0], logsumexp2(cand[1], pnb + lp), lms)
+                    if lexicon is not None and c not in lexicon.next_chars(prefix):
+                        continue
                     np_prefix = prefix + c
                     add_lm = lm.logp(prefix, c) * lm_weight if lm else 0.0
                     cand2 = new.get(np_prefix, (NEG, NEG, lms + add_lm))
@@ -345,11 +402,15 @@ def ctc_beam_search(
             key=lambda kv: -(logsumexp2(kv[1][0], kv[1][1]) + kv[1][2]),
         )
         beams = dict(scored[:beam])
-    best = max(beams.items(), key=lambda kv: logsumexp2(kv[1][0], kv[1][1]) + kv[1][2])
+    pool = beams.items()
+    if lexicon is not None:
+        pool = [kv for kv in pool if lexicon.is_word(kv[0])]
+        if not pool:
+            return (None, NEG) if return_score else None
+    best = max(pool, key=lambda kv: logsumexp2(kv[1][0], kv[1][1]) + kv[1][2])
+    if return_score:
+        return best[0], logsumexp2(best[1][0], best[1][1]) + best[1][2]
     return best[0]
-
-
-_SKIP_WORD = re.compile(r"^[A-Z0-9\-]+$|\d|-")
 
 
 def _segment_greedy(labels: np.ndarray, charset: Sequence[str]) -> str:
@@ -372,6 +433,8 @@ def rescore_line(
     no_uppercase_words: bool = True,
     no_digits: bool = False,
     no_dash: bool = True,
+    lexicon: Optional[LexiconTrie] = None,
+    lexicon_margin: float = 5.0,
 ) -> str:
     """Per-word LM rescoring with frame-level word splits (reference
     prediction_helpers.py get_word_per_word_pred_2 +
@@ -379,7 +442,14 @@ def rescore_line(
     split at frames whose argmax is the space class; each word segment is
     independently beam-decoded with the LM, except gated words (first
     char uppercase / any digit / any dash keep the greedy output, as the
-    reference's no_uppercase_words/no_digits/no_dash flags do)."""
+    reference's no_uppercase_words/no_digits/no_dash flags do).
+
+    ``lexicon`` additionally constrains each non-gated word to the
+    lexicon trie (flashlight's lexicon-decoder contract, reference
+    prediction_helpers.py:76-91), with an OOV fallback: the
+    unconstrained hypothesis wins when it out-scores the best in-lexicon
+    word by more than ``lexicon_margin`` (log-space) — flashlight
+    expresses the same tradeoff through its unk/word scores."""
     if lm is None:
         return greedy_text
     labels = frame_probs.argmax(-1)
@@ -387,6 +457,18 @@ def rescore_line(
         space_cls = charset.index(" ") + 1
     except ValueError:
         return ctc_beam_search(frame_probs, charset, lm, lm_weight, beam)
+
+    def decode_segment(seg_probs: np.ndarray) -> str:
+        free, free_score = ctc_beam_search(
+            seg_probs, charset, lm, lm_weight, beam, return_score=True)
+        if lexicon is None:
+            return free
+        lex, lex_score = ctc_beam_search(
+            seg_probs, charset, lm, lm_weight, beam,
+            lexicon=lexicon, return_score=True)
+        if lex is None or lex_score + lexicon_margin < free_score:
+            return free            # OOV segment: keep the open hypothesis
+        return lex
 
     split_at = [-1] + [int(t) for t in np.where(labels == space_cls)[0]] + [len(labels)]
     pieces: list = []
@@ -405,9 +487,7 @@ def rescore_line(
             if gated:
                 pieces.append(gtext)
             else:
-                pieces.append(
-                    ctc_beam_search(frame_probs[s:e], charset, lm, lm_weight, beam)
-                )
+                pieces.append(decode_segment(frame_probs[s:e]))
         if split_at[i + 1] < len(labels):
             pieces.append(" ")
     return "".join(pieces)

@@ -77,7 +77,7 @@ def main(argv=None):
         # fixed generated eval set on the model's own target
         # distribution (same special case as eval/evaluate.py) so the
         # greedy-vs-ngram comparison can run without external assets
-        from ..data.charset import DEFAULT_CHARSET_NO_ACCENT, load_default_charset
+        from ..data.charset import resolve_synthetic_charset
         from ..data.synthetic import SyntheticLineGenerator
 
         sub = ycfg.get("synthetic_charset",
@@ -91,8 +91,7 @@ def main(argv=None):
             with open(ycfg["eval_corpus"]) as fh:
                 corpus_lines = [l.strip() for l in fh if l.strip()]
         gen = SyntheticLineGenerator(
-            charset=(load_default_charset(DEFAULT_CHARSET_NO_ACCENT)
-                     if sub == "no_accent" else None),
+            charset=resolve_synthetic_charset(sub),
             seed=777,
             max_words=cfg.get_default("synthetic_max_words", 8),
             plain_background=cfg.get_default("plain_background", False),
@@ -136,6 +135,26 @@ def main(argv=None):
         lm = CharNgramLM.from_arpa(ycfg["lm_arpa"])
     elif ycfg.get("lm_corpus"):
         lm = fit_corpus_lm(int(ycfg.get("lm_order", 6)), lm_smoothing)
+
+    # lexicon-constrained decode (flashlight's lexicon contract,
+    # reference prediction_helpers.py:76-91): 'lexicon: <path>' loads a
+    # flashlight-format file (preprocessing.write_lexicon emits one);
+    # 'lexicon_from_corpus: true' builds the trie from the LM corpus's
+    # charset-filtered words
+    from .lm_decode import LexiconTrie
+
+    lexicon = None
+    if ycfg.get("lexicon"):
+        lexicon = LexiconTrie.from_file(ycfg["lexicon"])
+    elif ycfg.get("lexicon_from_corpus") and ycfg.get("lm_corpus"):
+        cs_set = set(charset)
+        with open(ycfg["lm_corpus"]) as fh:
+            words = {
+                "".join(c for c in w if c in cs_set)
+                for l in fh for w in l.split()
+            }
+        lexicon = LexiconTrie(w for w in words if w)
+    lexicon_margin = float(ycfg.get("lexicon_margin", 5.0))
 
     def src():
         for i in range(len(ds)):
@@ -198,9 +217,12 @@ def main(argv=None):
         if 0 < args.max_images <= len(gts):
             break
 
-    def rescore_all(the_lm, w, bm):
+    def rescore_all(the_lm, w, bm, lex=None, lex_margin=None):
         return [
             rescore_line(pr, gr, charset, the_lm, lm_weight=w, beam=bm,
+                         lexicon=lex,
+                         lexicon_margin=(lexicon_margin if lex_margin is None
+                                         else lex_margin),
                          **gate_kw)
             for pr, gr in zip(line_probs, greedy_preds)
         ]
@@ -219,6 +241,11 @@ def main(argv=None):
         weights = [float(w) for w in grid.get("lm_weight", [lm_weight])]
         beams = [int(float(b)) for b in grid.get("beam", [beam])]
         smooths = [str(s) for s in grid.get("lm_smoothing", [lm_smoothing])]
+        # lexicon arms: 'lexicon=on,off' toggles the trie constraint (on
+        # requires a configured lexicon); 'lexicon_margin=2.5,5' sweeps
+        # the OOV-fallback margin
+        lex_arms = [a.strip() for a in grid.get("lexicon", ["on" if lexicon else "off"])]
+        margins = [float(m) for m in grid.get("lexicon_margin", [lexicon_margin])]
         lms = {}
         for o in orders:
             for s in smooths:
@@ -231,21 +258,31 @@ def main(argv=None):
             for s in smooths:
                 for w in weights:
                     for bm in beams:
-                        cer = corpus_cer(rescore_all(lms[(o, s)], w, bm), gts)
-                        point = {"lm_order": o, "lm_smoothing": s,
-                                 "lm_weight": w, "beam": bm,
-                                 "ngram_CER": cer, "greedy_CER": greedy_cer,
-                                 "n": len(gts)}
-                        print(json.dumps(point), flush=True)
-                        if best is None or cer < best["ngram_CER"]:
-                            best = point
+                        for la in lex_arms:
+                            lex = lexicon if la == "on" else None
+                            for mg in (margins if lex is not None else [0.0]):
+                                cer = corpus_cer(
+                                    rescore_all(lms[(o, s)], w, bm, lex, mg), gts)
+                                point = {"lm_order": o, "lm_smoothing": s,
+                                         "lm_weight": w, "beam": bm,
+                                         "lexicon": la,
+                                         "lexicon_margin": mg,
+                                         "ngram_CER": cer,
+                                         "greedy_CER": greedy_cer,
+                                         "n": len(gts)}
+                                print(json.dumps(point), flush=True)
+                                if best is None or cer < best["ngram_CER"]:
+                                    best = point
+                                if lex is None:
+                                    break
         print(json.dumps({"best": best}))
         return best
 
-    lm_preds = rescore_all(lm, lm_weight, beam)
+    lm_preds = rescore_all(lm, lm_weight, beam, lexicon)
     result = {
         "greedy_CER": greedy_cer,
         "ngram_CER": corpus_cer(lm_preds, gts),
+        "lexicon": bool(lexicon),
         "n": len(gts),
     }
     print(json.dumps(result))

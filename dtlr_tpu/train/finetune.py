@@ -87,14 +87,11 @@ def main(argv=None):
         # surgery + smart-mapping path is exercised (reference
         # finetuning.py:422-539 does exactly this when moving from the
         # synthetic charset to a real dataset's charset)
-        from ..data.charset import DEFAULT_CHARSET_NO_ACCENT, load_default_charset
+        from ..data.charset import resolve_synthetic_charset
         from ..data.synthetic import SyntheticLineGenerator
 
         sub = cfg.get_default("synthetic_charset", "default")
-        target_charset = (
-            load_default_charset(DEFAULT_CHARSET_NO_ACCENT)
-            if sub == "no_accent" else None
-        )
+        target_charset = resolve_synthetic_charset(sub)
 
         # natural-text mixing: render windows of a prose corpus for a
         # fraction of the lines (the reference pretrain draws wikitext
