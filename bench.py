@@ -130,11 +130,14 @@ def main():
         if isinstance(cost, list):
             cost = cost[0]
         flops_fwd = float(cost.get("flops", 0.0))
+        bytes_fwd = float(cost.get("bytes accessed", 0.0))
         step_time = dt / iters
         PEAK_BF16 = 197e12
+        PEAK_HBM = 819e9  # v5e HBM bandwidth (public spec)
         mfu = flops_fwd / step_time / PEAK_BF16
+        hbm_util = bytes_fwd / step_time / PEAK_HBM if bytes_fwd else None
     except Exception:
-        pass
+        hbm_util = None
 
     rec = {
         "metric": "line_inference_throughput",
@@ -145,11 +148,19 @@ def main():
     if mfu is not None:
         rec["mfu"] = round(mfu, 4)
         rec["fwd_tflops"] = round(flops_fwd / 1e12, 3)
+        if hbm_util is not None:
+            # roofline attribution: when this sits near 1.0 the forward
+            # is HBM-bandwidth-bound and MFU is capped at
+            # flops/bytes * (PEAK_HBM/PEAK_BF16) regardless of GEMM
+            # shaping (see PERFORMANCE.md speed-of-light table)
+            rec["hbm_bytes_gb"] = round(bytes_fwd / 1e9, 3)
+            rec["hbm_util"] = round(hbm_util, 4)
 
-    # max-throughput point: same model/geometry at B=32 — serving-style
-    # batching amortizes the per-dispatch fixed cost and fills the MXU
-    # better than the protocol-matched B=8 headline (which stays the
-    # headline so BENCH_r* stay comparable round to round)
+    # batch-scaling point: B=32 on the same geometry. MEASURED round 3:
+    # 214.97 lines/s < 223.21 at B=8 (BENCH_r03.json) — throughput is
+    # flat-to-down in batch, i.e. the forward is NOT dispatch- or
+    # MXU-fill-limited at B=8; that is the bandwidth-bound signature the
+    # hbm_util field quantifies. Kept as a regression probe.
     for B_big in (32, 16):
         try:
             images_big = jax.random.normal(rng, (B_big, H, W, 3), jnp.float32)

@@ -278,19 +278,20 @@ class DINO(nn.Module):
         # dino.py:335 adds label_enc*0 for the same reason)
         hs = hs + (self.label_enc[0, 0] * 0.0).astype(hs.dtype)
 
-        # per-layer outputs: coords from normed hs + pre-layer reference
-        outputs_coord = []
-        outputs_class = []
-        for lid in range(self.num_decoder_layers):
-            ref_sig = references[lid]  # pre-layer reference (sigmoided)
-            delta = self.bbox_embed(hs[lid]).astype(jnp.float32)
-            from ..utils.boxes import inverse_sigmoid  # local to avoid cycle
+        # per-layer outputs: coords from normed hs + pre-layer reference.
+        # The heads are SHARED across decoder layers
+        # (dec_pred_*_share=True, reference dino.py:170-189), so apply
+        # them ONCE over the stacked (n_dec, B, nq, C) tensor: one MXU
+        # GEMM at 6x the rows instead of 6 underfilled 900-row GEMMs
+        # per head (fp-identical — same weights, same per-row math).
+        from ..utils.boxes import inverse_sigmoid  # local to avoid cycle
 
-            coord = jax.nn.sigmoid(delta + inverse_sigmoid(ref_sig))
-            outputs_coord.append(coord)
-            outputs_class.append(self.class_embed(hs[lid]).astype(jnp.float32))
-        outputs_class = jnp.stack(outputs_class)   # (n_dec, B, nq_tot, K)
-        outputs_coord = jnp.stack(outputs_coord)
+        delta = self.bbox_embed(hs).astype(jnp.float32)  # (n_dec, B, nq, 4)
+        # references[lid] is the pre-layer reference (sigmoided)
+        outputs_coord = jax.nn.sigmoid(
+            delta + inverse_sigmoid(references[: self.num_decoder_layers])
+        )
+        outputs_class = self.class_embed(hs).astype(jnp.float32)
 
         out = {}
         if use_cdn and pad_size > 0:

@@ -25,6 +25,7 @@ if [ ! -f "$GNT_ROOT/HWDB_gnt/fake000.gnt" ]; then
 fi
 
 OPTS="batch_size=8 max_targets=64 'data_aug_scales=[96]' \
+  batch_norm_type=group dense_box_bias=True lr_backbone=1e-4 \
   data_aug_max_size=1024 image_w_max=1024 image_h_max=160 \
   eval_set_size=64 transfer_uint8=True synthetic_reuse=4 \
   warmup_steps=500 lr_drop=1000000 \
