@@ -21,6 +21,7 @@ import os
 from ..config import load_config, parse_options
 from ..config.loader import apply_options, dump_config
 from ..data.batching import BucketBatcher
+from ..data.charset import resolve_synthetic_charset
 from ..data.loaders import build_dataset
 from .engine import Trainer, batch_to_arrays
 
@@ -114,6 +115,15 @@ def main(argv=None):
 
         def synth_kw(mode: str, seed: int) -> dict:
             kw = dict(plain_background=plain, max_words=max_words, seed=seed)
+            # honor synthetic_charset like the finetune driver and the
+            # standalone evaluator (evaluate.py:192-204) do: without
+            # this, a charset-restricted pretrain trained a full
+            # 166-class head that the evaluator could never reload
+            # ("default" -> None -> the generator's 166-char default)
+            sub = cfg.get_default("synthetic_charset", "default")
+            restricted = resolve_synthetic_charset(sub)
+            if restricted is not None:
+                kw["charset"] = restricted
             font_dict = cfg.get_default("synthetic_font_dict", None)
             if font_dict:
                 from ..data.fonts import FontSampler
@@ -183,6 +193,22 @@ def main(argv=None):
         train_iter, val_iter = iter(train_src), iter(val_src)
     else:
         raise ValueError("pretraining expects a synthetic dataset")
+
+    # re-derive the class count from the dataset charset exactly like
+    # eval/evaluate.py does (preserving the config family's labelbook
+    # offset, reference Latin.py:103 vs Chinese.py:104): without this a
+    # synthetic_charset override trains a head sized by the config's
+    # stale num_classes, and the checkpoint can never be reloaded by the
+    # evaluator (label_enc shape mismatch). No-op for the stock configs,
+    # whose num_classes already equals len(charset).
+    offset = (cfg.get_default("dn_labelbook_size", cfg.num_classes + 1)
+              - cfg.num_classes)
+    cfg.num_classes = len(charset)
+    cfg.dn_labelbook_size = len(charset) + offset
+    # re-dump so downstream consumers of this run's config_cfg.py (the
+    # finetune stage rebuilding the pretrain model, the evaluator)
+    # record the derived class count, not the config file's stale one
+    dump_config(cfg, os.path.join(args.output_dir, "config_cfg.py"))
 
     space_label = charset.index(" ") if " " in charset else -1
     make_batcher = lambda src, train, seed: BucketBatcher(

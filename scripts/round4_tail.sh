@@ -34,11 +34,15 @@ S2=${R4_FT2:-6000}
 SNAP=/tmp/r4tail_src
 rm -rf "$SNAP" && mkdir -p "$SNAP"
 cp -r /root/repo/dtlr_tpu "$SNAP/"
-export PYTHONPATH="$SNAP"
+# APPEND to PYTHONPATH: this sandbox registers the TPU backend via a
+# sitecustomize dir on the default PYTHONPATH (JAX_PLATFORMS=axon is set
+# globally); replacing the path makes every jax import die with
+# "Backend 'axon' is not in the list of known backends".
+export PYTHONPATH="$SNAP:${PYTHONPATH:-}"
 
 COMMON_OPTS="batch_size=8 max_targets=64 'data_aug_scales=[128]' \
   data_aug_max_size=1024 image_w_max=1024 image_h_max=192 \
-  synthetic_max_words=5 synthetic_charset=no_accent eval_epoch=1 \
+  synthetic_max_words=5 synthetic_charset=no_accent_space eval_epoch=1 \
   batch_norm_type=group dense_box_bias=True \
   synthetic_corpus_file=/root/repo/artifacts/corpus_words_train.txt \
   synthetic_corpus_val_file=/root/repo/artifacts/corpus_words_val.txt \
@@ -155,7 +159,7 @@ if [ "$(left)" -gt 2100 ] && [ -d "$OUT" ]; then
     --ckpt_dir "$OUT" --TH 0.3 --NMS 0.5 --max_images 64 --batch_size 4 \
     --options batch_size=4 max_targets=256 "'data_aug_scales=[480]'" \
       data_aug_max_size=1333 image_w_max=1344 image_h_max=512 \
-      synthetic_max_words=30 synthetic_charset=no_accent \
+      synthetic_max_words=30 synthetic_charset=no_accent_space \
       batch_norm_type=group dense_box_bias=True \
       synthetic_corpus_file=/root/repo/artifacts/corpus_words_train.txt \
       synthetic_corpus_val_file=/root/repo/artifacts/corpus_words_val.txt \

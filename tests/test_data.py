@@ -131,3 +131,24 @@ def test_synthetic_samples_always_have_ink():
         s = gen.sample()
         # visible ink: a labelled line must never be a blank canvas
         assert float(np.asarray(s.image).std()) > 0.02, s.text
+
+
+def test_general_generator_honors_restricted_charset():
+    # pretrain.py passes synthetic_charset through to the general
+    # generator (and re-derives num_classes from it) so a
+    # charset-restricted pretrain checkpoint can be reloaded by the
+    # standalone evaluator, which builds its generator from the same
+    # config key (evaluate.py:192-204). Regression for the round-4
+    # label_enc (67,32)-vs-(168,32) reload failure.
+    from dtlr_tpu.data.charset import resolve_synthetic_charset
+    from dtlr_tpu.data.loaders import build_dataset
+
+    cs = resolve_synthetic_charset("no_accent_space")
+    gen = build_dataset("synthetic_line_OCR_general", "train",
+                        charset=cs, seed=7, max_words=4)
+    assert gen.charset == cs and len(cs) == 65
+    allowed = set(cs)
+    for _ in range(10):
+        s = gen.sample()
+        assert s.labels.max(initial=0) < len(cs)
+        assert set(s.text) <= allowed, s.text
