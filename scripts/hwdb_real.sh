@@ -10,7 +10,7 @@
 set -u
 STEPS=${HWDB_STEPS:-2000}
 EPOCHS=${HWDB_EPOCHS:-5}
-NPZ=${HWDB_NPZ:-/root/repo/artifacts/r3run_params.npz}
+NPZ=${HWDB_NPZ:-/root/repo/artifacts/r4run_params_ema.npz}
 GNT_ROOT=/root/repo/outputs/hwdb_assets
 SNAP=/tmp/hwdbr_src
 rm -rf "$SNAP" && mkdir -p "$SNAP"
@@ -24,18 +24,20 @@ if [ ! -f "$GNT_ROOT/HWDB_gnt/fake000.gnt" ]; then
   python /root/repo/scripts/make_fake_gnt.py "$GNT_ROOT/HWDB_gnt" 600 3
 fi
 
-OPTS="batch_size=8 max_targets=64 'data_aug_scales=[96]' \
-  batch_norm_type=group dense_box_bias=True lr_backbone=1e-4 \
+# batch 4, not 8: the 7356-class focal loss materializes the stacked
+# (6, B, 900, 7356) fp32 logits + temporaries; B=8 blew HBM (39.35G vs
+# 15.75G) even before the encoder fix (see Chinese_TPU.py header).
+OPTS="batch_size=4 max_targets=64 'data_aug_scales=[96]' \
   data_aug_max_size=1024 image_w_max=1024 image_h_max=160 \
-  eval_set_size=64 transfer_uint8=True synthetic_reuse=4 \
+  eval_set_size=64 \
   warmup_steps=500 lr_drop=1000000 \
   hwdb_charset_pickle=/root/reference/data/HWDB_v1/charset.pkl \
   'hwdb_glyphs_per_line=[5,25]' \
   compilation_cache_dir=/root/repo/outputs/xla_cache"
 
 status=0
-eval timeout 6000 python -m dtlr_tpu.train.pretrain \
-  -c "$SNAP/dtlr_tpu/configs/Chinese.py" \
+eval timeout "${HWDB_TIMEOUT:-6000}" python -m dtlr_tpu.train.pretrain \
+  -c "$SNAP/dtlr_tpu/configs/Chinese_TPU.py" \
   --dataset_file HWDB_synth --data_root "$GNT_ROOT" \
   --output_dir "$OUT" --warm_start_npz "$NPZ" \
   --steps_per_epoch "$STEPS" --epochs "$EPOCHS" --eval_every 1 --seed 0 \
