@@ -40,7 +40,7 @@ eval timeout "${HWDB_TIMEOUT:-6000}" python -m dtlr_tpu.train.pretrain \
   -c "$SNAP/dtlr_tpu/configs/Chinese_TPU.py" \
   --dataset_file HWDB_synth --data_root "$GNT_ROOT" \
   --output_dir "$OUT" --warm_start_npz "$NPZ" \
-  --steps_per_epoch "$STEPS" --epochs "$EPOCHS" --eval_every 1 --seed 0 \
+  --steps_per_epoch "$STEPS" --epochs "$EPOCHS" --eval_every "${HWDB_EVAL_EVERY:-1}" --seed 0 \
   --options $OPTS \
   || status=$?
 if [ "$status" -ne 0 ]; then echo "[hwdb_real] pretrain FAILED ($status)"; exit $status; fi
@@ -48,6 +48,6 @@ if [ "$status" -ne 0 ]; then echo "[hwdb_real] pretrain FAILED ($status)"; exit 
 eval timeout 1800 python -m dtlr_tpu.eval.evaluate \
   --dataset HWDB_synth --mode val --config "$OUT/config_cfg.py" \
   --ckpt_dir "$OUT" --data_root "$GNT_ROOT" \
-  --metrics chinese --TH 0.2 --NMS 0.5 --max_images 64 --batch_size 8 \
+  --metrics chinese --TH "${HWDB_EVAL_TH:-0.2}" --NMS 0.5 --max_images 64 --batch_size 8 \
   || { echo "[hwdb_real] chinese eval FAILED"; exit 1; }
 echo "[hwdb_real] done"
