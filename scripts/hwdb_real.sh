@@ -17,11 +17,15 @@ rm -rf "$SNAP" && mkdir -p "$SNAP"
 cp -r /root/repo/dtlr_tpu "$SNAP/"
 cd "$SNAP"
 export PYTHONPATH="$SNAP:${PYTHONPATH:-}"
-OUT=/root/repo/outputs/hwdb_real
+OUT=${HWDB_OUT:-/root/repo/outputs/hwdb_real}
 
-if [ ! -f "$GNT_ROOT/HWDB_gnt/fake000.gnt" ]; then
-  mkdir -p "$GNT_ROOT/HWDB_gnt"
-  python /root/repo/scripts/make_fake_gnt.py "$GNT_ROOT/HWDB_gnt" 600 3
+# v2 bank: class-consistent skeleton+jitter glyphs (see make_fake_gnt.py
+# header; the v1 fully-random-doodle bank was unlearnable by design —
+# hwdb_diag evidence in docs/ROUND4_NOTES.md phase C)
+if [ ! -f "$GNT_ROOT/HWDB_gnt/bank_v2.stamp" ]; then
+  rm -rf "$GNT_ROOT/HWDB_gnt" && mkdir -p "$GNT_ROOT/HWDB_gnt"
+  python /root/repo/scripts/make_fake_gnt.py "$GNT_ROOT/HWDB_gnt" 600 8
+  touch "$GNT_ROOT/HWDB_gnt/bank_v2.stamp"
 fi
 
 # batch 4, not 8: the 7356-class focal loss materializes the stacked

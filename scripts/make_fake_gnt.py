@@ -1,11 +1,20 @@
-"""Build a small synthetic GNT glyph bank for the on-chip HWDB smoke.
+"""Build a small synthetic GNT glyph bank for the on-chip HWDB runs.
 
 The sandbox ships the HWDB charset pickle but no CASIA .gnt assets, so
-glyph bitmaps here are procedural stroke doodles (random polylines on a
-64x64 grid) written in the exact CASIA GNT record format the parser
-reads (reference datasets/HWDB_Synth.py:60-93: u32 size, GBK tag u16,
-w u16, h u16, bitmap). The point of the smoke is the 7356-class head +
-chinese metric path on the real chip, not glyph realism.
+glyph bitmaps here are procedural stroke glyphs written in the exact
+CASIA GNT record format the parser reads (reference
+datasets/HWDB_Synth.py:60-93: u32 size, GBK tag u16, w u16, h u16,
+bitmap).
+
+Glyphs are CLASS-CONSISTENT: each char has a deterministic stroke
+skeleton (endpoints drawn from a per-char RNG) and every exemplar is
+that skeleton under instance-level jitter (endpoint noise, stroke
+thickness, small shear) — mirroring how real handwriting exposes a
+stable shape->class function with writer variation. The round-4
+hwdb_diag on the first (fully random doodle) bank proved the 7356-class
+head had learned the active-set prior but *could not* learn class
+identity because exemplars of one char shared no shape (rank of the GT
+class ~uniform within the active set after 36k steps).
 
 Usage: python scripts/make_fake_gnt.py <out_dir> [n_chars] [per_char]
 """
@@ -18,17 +27,29 @@ import sys
 import numpy as np
 
 
-def draw_glyph(rng: np.random.Generator, size: int = 56) -> np.ndarray:
+def char_skeleton(char_rng: np.random.Generator, size: int = 56) -> np.ndarray:
+    """Deterministic per-char stroke skeleton: (n_strokes, 4) endpoints."""
+    n_strokes = int(char_rng.integers(3, 8))
+    return char_rng.integers(6, size - 6, (n_strokes, 4)).astype(np.float64)
+
+
+def draw_glyph(
+    skeleton: np.ndarray, inst_rng: np.random.Generator, size: int = 56
+) -> np.ndarray:
+    """Render one exemplar: the char's skeleton under instance jitter."""
     img = np.full((size, size), 255, np.uint8)
-    for _ in range(int(rng.integers(3, 8))):  # strokes
-        x0, y0, x1, y1 = rng.integers(4, size - 4, 4)
-        n = max(abs(int(x1) - int(x0)), abs(int(y1) - int(y0))) + 1
-        xs = np.linspace(x0, x1, n).astype(int)
-        ys = np.linspace(y0, y1, n).astype(int)
-        t = int(rng.integers(1, 4))
-        for dx in range(-t, t + 1):
-            img[np.clip(ys + dx, 0, size - 1), xs] = 0
-            img[ys, np.clip(xs + dx, 0, size - 1)] = 0
+    pts = skeleton + inst_rng.normal(0.0, 1.8, skeleton.shape)
+    shear = inst_rng.normal(0.0, 0.06)  # slight italic-style slant
+    t = int(inst_rng.integers(1, 4))  # per-exemplar pen thickness
+    for x0, y0, x1, y1 in pts:
+        x0 += shear * (y0 - size / 2)
+        x1 += shear * (y1 - size / 2)
+        n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+        xs = np.clip(np.linspace(x0, x1, n), 0, size - 1).astype(int)
+        ys = np.clip(np.linspace(y0, y1, n), 0, size - 1).astype(int)
+        for d in range(-t, t + 1):
+            img[np.clip(ys + d, 0, size - 1), xs] = 0
+            img[ys, np.clip(xs + d, 0, size - 1)] = 0
     return img
 
 
@@ -58,9 +79,11 @@ def main():
 
     path = os.path.join(out_dir, "fake000.gnt")
     with open(path, "wb") as fh:
-        for c, tag in picked:
+        for ci, (c, tag) in enumerate(picked):
+            # per-char deterministic skeleton; exemplars jitter around it
+            skeleton = char_skeleton(np.random.default_rng(100_003 + ci))
             for _ in range(per_char):
-                bmp = draw_glyph(rng)
+                bmp = draw_glyph(skeleton, rng)
                 h, w = bmp.shape
                 fh.write(struct.pack("<I2sHH", 10 + w * h, tag, w, h))
                 fh.write(bmp.tobytes())
