@@ -37,7 +37,8 @@ OPTS="batch_size=4 max_targets=64 'data_aug_scales=[96]' \
   warmup_steps=500 lr_drop=1000000 \
   hwdb_charset_pickle=/root/reference/data/HWDB_v1/charset.pkl \
   'hwdb_glyphs_per_line=[5,25]' \
-  compilation_cache_dir=/root/repo/outputs/xla_cache"
+  compilation_cache_dir=/root/repo/outputs/xla_cache \
+  ${HWDB_EXTRA_OPTS:-}"
 
 status=0
 eval timeout "${HWDB_TIMEOUT:-6000}" python -m dtlr_tpu.train.pretrain \
