@@ -58,6 +58,10 @@ def parse_args(argv=None):
     p.add_argument("--dump_detections", action="store_true",
                    help="write COCO-style detection json (reference "
                         "engine.py:429-484 'test' mode)")
+    p.add_argument("--ema", action="store_true",
+                   help="evaluate the checkpoint's EMA weights instead of "
+                        "the raw params (reference evaluation.py restores "
+                        "ema_model when use_ema was on)")
     return p.parse_args(argv)
 
 
@@ -286,6 +290,11 @@ def main(argv=None):
     if not trainer.try_resume():
         if not trainer.try_resume("checkpoint_best_regular"):
             raise FileNotFoundError(f"no checkpoint under {args.ckpt_dir}")
+    if args.ema:
+        if trainer.state.ema_params is None:
+            raise ValueError("--ema requested but checkpoint has no "
+                             "ema_params (train with use_ema=True)")
+        trainer.state = trainer.state._replace(params=trainer.state.ema_params)
 
     out_dir = os.path.join(args.ckpt_dir, "stats_dect", args.dataset)
     os.makedirs(out_dir, exist_ok=True)

@@ -12,7 +12,7 @@
 # decoder cross-attention vs this repo's dense QxS formulation.
 set -u
 STEPS=${DA_STEPS:-2000}
-NPZ=${DA_NPZ:-/root/repo/artifacts/r3run_params.npz}
+NPZ=${DA_NPZ:-/root/repo/artifacts/r4run_params.npz}
 SNAP=/tmp/da_src
 rm -rf "$SNAP" && mkdir -p "$SNAP"
 cp -r /root/repo/dtlr_tpu "$SNAP/"

@@ -14,6 +14,7 @@ CPU-only: env PYTHONPATH= python scripts/hwdb_overfit_probe.py [steps]
 """
 
 import pickle
+import os
 import sys
 import time
 
@@ -36,7 +37,8 @@ from scripts.hwdb_diag import iou_matrix  # noqa: E402
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     cfg = apply_options(
-        load_config("outputs/hwdb_real/config_cfg.py"),
+        load_config(os.environ.get("PROBE_CFG",
+                    "dtlr_tpu/configs/Chinese_TPU.py")),
         parse_options([
             "data_aug_scales=[64]", "data_aug_max_size=1024",
             "image_w_max=1024", "image_h_max=96", "batch_size=4",

@@ -24,8 +24,9 @@ OUT=${HWDB_OUT:-/root/repo/outputs/hwdb_real}
 # hwdb_diag evidence in docs/ROUND4_NOTES.md phase C)
 if [ ! -f "$GNT_ROOT/HWDB_gnt/bank_v2.stamp" ]; then
   rm -rf "$GNT_ROOT/HWDB_gnt" && mkdir -p "$GNT_ROOT/HWDB_gnt"
-  python /root/repo/scripts/make_fake_gnt.py "$GNT_ROOT/HWDB_gnt" 600 8
-  touch "$GNT_ROOT/HWDB_gnt/bank_v2.stamp"
+  python /root/repo/scripts/make_fake_gnt.py "$GNT_ROOT/HWDB_gnt" 600 8 \
+    && touch "$GNT_ROOT/HWDB_gnt/bank_v2.stamp" \
+    || { echo "[hwdb_real] glyph bank generation FAILED"; exit 1; }
 fi
 
 # batch 4, not 8: the 7356-class focal loss materializes the stacked
