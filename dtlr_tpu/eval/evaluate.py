@@ -58,6 +58,11 @@ def parse_args(argv=None):
     p.add_argument("--dump_detections", action="store_true",
                    help="write COCO-style detection json (reference "
                         "engine.py:429-484 'test' mode)")
+    p.add_argument("--eval_seed", type=int, default=0,
+                   help="offset added to the fixed synthetic eval-set "
+                        "seed (123 / 321) — nonzero draws a fresh "
+                        "held-out set, e.g. to re-score a swept "
+                        "operating point on lines it was not tuned on")
     p.add_argument("--ema", action="store_true",
                    help="evaluate the checkpoint's EMA weights instead of "
                         "the raw params (reference evaluation.py restores "
@@ -206,7 +211,7 @@ def main(argv=None):
                 corpus_lines = [l.strip() for l in fh if l.strip()]
         gen = SyntheticLineGenerator(
             charset=resolve_synthetic_charset(sub),
-            seed=123,
+            seed=123 + args.eval_seed,
             max_words=cfg.get_default("synthetic_max_words", 8),
             plain_background=cfg.get_default("plain_background", False),
             corpus_lines=corpus_lines,
@@ -241,7 +246,7 @@ def main(argv=None):
         if gpl:
             hwdb_kw["glyphs_per_line"] = tuple(gpl)
         gen = build_dataset(args.dataset, args.mode, root=args.data_root,
-                            seed=321, **hwdb_kw)
+                            seed=321 + args.eval_seed, **hwdb_kw)
         it = iter(gen)
         n = args.max_images if args.max_images > 0 else 64
         samples = [next(it) for _ in range(n)]

@@ -43,6 +43,24 @@ def batch_to_arrays(batch: Batch) -> Dict[str, np.ndarray]:
     }
 
 
+def _iou_matrix_cxcywh(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
+    """IoU between GT (T,4) and predicted (Q,4) normalized cxcywh boxes
+    (eval-time diagnostic; duplicated from scripts/hwdb_diag.py so the
+    training package never imports from scripts/)."""
+    def to_xyxy(b):
+        cx, cy, w, h = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+        return np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+    g, p = to_xyxy(gt)[:, None], to_xyxy(pred)[None]
+    lt = np.maximum(g[..., :2], p[..., :2])
+    rb = np.minimum(g[..., 2:], p[..., 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_g = (g[..., 2] - g[..., 0]) * (g[..., 3] - g[..., 1])
+    area_p = (p[..., 2] - p[..., 0]) * (p[..., 3] - p[..., 1])
+    return inter / np.clip(area_g + area_p - inter, 1e-9, None)
+
+
 def _rss_gb() -> float:
     try:
         with open("/proc/self/status") as fh:
@@ -106,6 +124,7 @@ class Trainer:
         self._step_fn = None
         self._eval_fn = None
         self.epoch = 0
+        self.stall_detected = False
         self._wandb = self._init_wandb()
 
     def _init_wandb(self):
@@ -217,6 +236,16 @@ class Trainer:
         mlog = MetricLogger()
         t0 = time.time()
         n_it = 0
+        # step-latency watchdog: the axon staging-buffer leak manifests
+        # as one print_freq block silently taking ~10-100x the median
+        # (epoch-9 of the round-4 HWDB run stalled 37 min between it 950
+        # and 1000 while RSS jumped 13 GB, under the 80 GB RSS limit).
+        # Blocks are the natural unit because float(metrics) at
+        # print_freq is the only host sync point in the loop.
+        stall_factor = float(self.cfg.get_default("stall_restart_factor", 8.0))
+        block_times: List[float] = []
+        block_t0 = time.time()
+        self.stall_detected = False
         for i, batch in enumerate(batches):
             if 0 < max_iterations <= i:
                 break
@@ -263,6 +292,20 @@ class Trainer:
                 import gc
 
                 gc.collect()
+                if i > 0:
+                    block_dt = time.time() - block_t0
+                    block_t0 = time.time()
+                    if len(block_times) >= 3 and stall_factor > 0:
+                        med = sorted(block_times)[len(block_times) // 2]
+                        if block_dt > max(stall_factor * med, 120.0):
+                            self.logger.info(
+                                f"step-latency watchdog: block ending at it {i} "
+                                f"took {block_dt:.0f}s vs median {med:.0f}s "
+                                f"(rss={_rss_gb():.1f}G) — ending epoch early "
+                                "for checkpoint+restart")
+                            self.stall_detected = True
+                            break
+                    block_times.append(block_dt)
         dt = time.time() - t0
         stats = {k: m.global_avg for k, m in mlog.meters.items()}
         stats["epoch_time"] = dt
@@ -326,6 +369,15 @@ class Trainer:
         th_grid = (0.05, 0.1, 0.2, 0.3)
         th_counts = {t: 0 for t in th_grid}  # queries above TH, summed
         n_images = 0
+        # spaceless charsets (Chinese/cipher) have WER pinned at 1.0 and
+        # greedy CER insertion-flooded pre-finetune; report the reference
+        # AR/CR protocol (evaluation.py:560-571) on the NMS decode
+        # instead so multi-k HWDB runs are diagnosable from log.txt
+        # (round-4 verdict weak #3)
+        spaceless = " " not in charset
+        nms_labels_all: List[List[int]] = []
+        gt_labels_all: List[List[int]] = []
+        p_gt_sum, p_gt_n = 0.0, 0
         params = (
             self.state.ema_params
             if use_ema and self.state.ema_params is not None
@@ -397,10 +449,30 @@ class Trainer:
             for labs in nms_decode(out["pred_logits"], out["pred_boxes"],
                                    score_threshold=0.3, nms_iou=0.5):
                 nms_preds.append(labels_to_text(labs, charset))
+                nms_labels_all.append(list(labs))
+            for b in range(batch_logits.shape[0]):
+                v = np.asarray(batch.valid[b], bool)
+                gt_labels_all.append(np.asarray(batch.labels[b])[v].tolist())
+            if i == 0:
+                # cheap p(gt | IoU-matched query) probe: for every GT
+                # glyph, the sigmoid prob its best-IoU query assigns to
+                # the GT class — separates "can't localize" from "can't
+                # classify" without post-hoc scripts (hwdb_diag.py)
+                pred_boxes_np = np.asarray(out["pred_boxes"], np.float32)
+                probs = 1.0 / (1.0 + np.exp(-batch_logits))
+                for b in range(batch_logits.shape[0]):
+                    v = np.asarray(batch.valid[b], bool)
+                    gt_b = np.asarray(batch.boxes[b], np.float32)[v]
+                    gt_l = np.asarray(batch.labels[b])[v]
+                    if len(gt_b) == 0:
+                        continue
+                    iou = _iou_matrix_cxcywh(gt_b, pred_boxes_np[b])
+                    best_q = iou.argmax(-1)
+                    p_gt_sum += float(probs[b, best_q, gt_l].sum())
+                    p_gt_n += len(gt_l)
         stats = {
             "cer": corpus_cer(preds, gts),
             "nms_cer": corpus_cer(nms_preds, gts),
-            "wer": corpus_wer(preds, gts),
             "loss_CTC": float(np.mean(losses)) if losses else float("nan"),
             "n": len(preds),
             "max_conf": float(np.max(max_confs)) if max_confs else 0.0,
@@ -408,6 +480,15 @@ class Trainer:
             **{f"nq@{t}": round(th_counts[t] / max(n_images, 1), 2)
                for t in th_grid},
         }
+        if spaceless:
+            from ..eval.metrics import ar_cr
+
+            ar, cr = ar_cr(nms_labels_all, gt_labels_all)
+            stats["ar"], stats["cr"] = ar, cr
+        else:
+            stats["wer"] = corpus_wer(preds, gts)
+        if p_gt_n:
+            stats["p_gt_matched"] = round(p_gt_sum / p_gt_n, 4)
         self.logger.info(f"{tag}: {stats}")
         append_log_line(self.output_dir, {"epoch": self.epoch, tag: stats})
         return stats

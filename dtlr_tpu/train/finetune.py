@@ -143,6 +143,45 @@ def main(argv=None):
                 return self._gen.sample_dict() if self._samples is None else self._samples[i]
 
         train_ds, val_ds = _SynthDs(gen=g_tr), _SynthDs(samples=va_samples)
+    elif args.dataset_file == "HWDB_synth":
+        # Chinese CTC finetune on GNT-synth lines (reference
+        # finetuning.py HWDB path, config/HWDB_full.py): label space
+        # from the charset pickle so the 7356-class head matches the
+        # Chinese_TPU pretrain trunk — mirrors pretrain.py:171-192
+        hwdb_kw = {}
+        cs_pkl = cfg.get_default("hwdb_charset_pickle", None)
+        if cs_pkl:
+            import pickle
+
+            with open(cs_pkl, "rb") as fh:
+                cps = pickle.load(fh)
+            hwdb_kw["charset"] = [chr(c) if isinstance(c, int) else c
+                                  for c in cps]
+        gpl = cfg.get_default("hwdb_glyphs_per_line", None)
+        if gpl:
+            hwdb_kw["glyphs_per_line"] = tuple(gpl)
+        g_tr = build_dataset("HWDB_synth", "train", root=args.data_root,
+                             seed=args.seed, **hwdb_kw)
+        g_va = build_dataset("HWDB_synth", "val", root=args.data_root,
+                             seed=args.seed + 999, **hwdb_kw)
+        it_va = iter(g_va)
+        va_samples = [next(it_va)
+                      for _ in range(cfg.get_default("eval_set_size", 64))]
+        it_tr = iter(g_tr)
+
+        class _GenDs:
+            def __init__(self, it=None, samples=None):
+                self.charset = g_tr.charset
+                self._it, self._samples = it, samples
+
+            def __len__(self):
+                return 10 ** 9 if self._samples is None else len(self._samples)
+
+            def __getitem__(self, i):
+                return (next(self._it) if self._samples is None
+                        else self._samples[i])
+
+        train_ds, val_ds = _GenDs(it=it_tr), _GenDs(samples=va_samples)
     else:
         train_ds = build_dataset(args.dataset_file, "train", root=args.data_root)
         val_ds = build_dataset(args.dataset_file, "val", root=args.data_root)

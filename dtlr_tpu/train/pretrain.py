@@ -287,6 +287,11 @@ def main(argv=None):
             # axon client host-buffer leak: exit 3 after the checkpoint;
             # an outer restart loop resumes (scripts/bigrun_pretrain.sh)
             raise SystemExit(3)
+        if trainer.stall_detected:
+            # step-latency watchdog fired mid-epoch (engine.train_epoch):
+            # the checkpoint above is fresh, so hand off to the restart
+            # loop before the stall degenerates into a host OOM
+            raise SystemExit(3)
 
 
 if __name__ == "__main__":

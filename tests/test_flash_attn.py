@@ -1,0 +1,102 @@
+"""Parity tests for the fused flash-style attention kernel
+(ops/flash_attn.py) against its plain-XLA reference, in Pallas
+interpret mode (CPU). Covers: plain attention, key-padding bias, the
+in-kernel box-locality prior (vs models/transformer.py
+dense_box_prior_d2), non-aligned Q/S padding, and gradients through
+the custom VJP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dtlr_tpu.ops.flash_attn import (
+    BoxPrior,
+    dense_reference,
+    flash_mha,
+    make_box_prior,
+)
+
+B, M, Q, S, D = 2, 4, 70, 200, 32
+SPATIAL = ((8, 10), (4, 10), (2, 20), (2, 20))  # sums to 200
+
+
+def _rand(key, *shape):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    qh = _rand(ks[0], B, M, Q, D)
+    kh = _rand(ks[1], B, M, S, D)
+    vh = _rand(ks[2], B, M, S, D)
+    key_bias = jnp.where(
+        jax.random.uniform(ks[3], (B, S)) < 0.2, -1e9, 0.0
+    ).astype(jnp.float32)
+    ref = jax.random.uniform(ks[4], (B, Q, len(SPATIAL), 4),
+                             minval=0.05, maxval=0.9)
+    gamma = jnp.exp(_rand(ks[5], M) * 0.3)
+    prior = make_box_prior(ref, SPATIAL, gamma)
+    return qh, kh, vh, key_bias, prior
+
+
+def test_plain_matches_reference(inputs):
+    qh, kh, vh, key_bias, _ = inputs
+    out = flash_mha(qh, kh, vh, key_bias, None, 128, True)
+    ref = dense_reference(qh, kh, vh, key_bias, None)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_box_prior_matches_reference(inputs):
+    qh, kh, vh, key_bias, prior = inputs
+    out = flash_mha(qh, kh, vh, key_bias, prior, 128, True)
+    ref = dense_reference(qh, kh, vh, key_bias, prior)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_box_prior_matches_transformer_d2(inputs):
+    """The decomposed in-kernel prior must equal dense_box_prior_d2's
+    materialized tensor (transformer.py:102-127) exactly."""
+    from dtlr_tpu.models.transformer import dense_box_prior_d2
+
+    _, _, _, _, prior = inputs
+    ref_pts = jax.random.uniform(jax.random.PRNGKey(7),
+                                 (B, Q, len(SPATIAL), 4),
+                                 minval=0.05, maxval=0.9)
+    d2_ref = dense_box_prior_d2(ref_pts, SPATIAL)
+    p = make_box_prior(ref_pts, SPATIAL, prior.gamma)
+    cxs = jnp.einsum("bql,lk->bqk", p.cx, p.lvl_onehot)
+    cys = jnp.einsum("bql,lk->bqk", p.cy, p.lvl_onehot)
+    ihws = jnp.einsum("bql,lk->bqk", p.ihw, p.lvl_onehot)
+    ihhs = jnp.einsum("bql,lk->bqk", p.ihh, p.lvl_onehot)
+    dx = (p.px[:, None, :] - cxs) * ihws
+    dy = (p.py[:, None, :] - cys) * ihhs
+    np.testing.assert_allclose(dx * dx + dy * dy, d2_ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_inputs(inputs):
+    qh, kh, vh, key_bias, prior = inputs
+    out = flash_mha(qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+                    vh.astype(jnp.bfloat16), key_bias, prior, 128, True)
+    ref = dense_reference(qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+                          vh.astype(jnp.bfloat16), key_bias, prior)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_grads_flow(inputs):
+    qh, kh, vh, key_bias, prior = inputs
+
+    def loss_flash(q, k, v, g):
+        pr = prior._replace(gamma=g)
+        return flash_mha(q, k, v, key_bias, pr, 128, True).sum()
+
+    def loss_ref(q, k, v, g):
+        pr = prior._replace(gamma=g)
+        return dense_reference(q, k, v, key_bias, pr).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(qh, kh, vh, prior.gamma)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(qh, kh, vh, prior.gamma)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
