@@ -113,6 +113,7 @@ class DINO(nn.Module):
     encoder_win: int = 32
     decoder_ca: str = "deform"
     dense_box_bias: bool = False
+    flash_attn: bool = False
     use_checkpoint: bool = False
     # sine PE temperatures (reference config/Latin.py:31-32)
     pe_temperature_h: float = 20.0
@@ -181,6 +182,7 @@ class DINO(nn.Module):
             encoder_win=self.encoder_win,
             decoder_ca=self.decoder_ca,
             dense_box_bias=self.dense_box_bias,
+            flash_attn=self.flash_attn,
             use_checkpoint=self.use_checkpoint,
             dtype=self.dtype,
             name="transformer",
@@ -356,6 +358,7 @@ def build_dino_from_config(cfg) -> DINO:
         encoder_win=cfg.get_default("encoder_win", 32),
         decoder_ca=cfg.get_default("decoder_ca", "deform"),
         dense_box_bias=cfg.get_default("dense_box_bias", False),
+        flash_attn=cfg.get_default("flash_attn", False),
         use_checkpoint=cfg.get_default("use_checkpoint", False),
         pe_temperature_h=float(cfg.get_default("pe_temperatureH", 20)),
         pe_temperature_w=float(cfg.get_default("pe_temperatureW", 20)),

@@ -147,13 +147,20 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, attn_mask: Optional[jnp.ndarray] = None,
-                 logit_bias: Optional[jnp.ndarray] = None):
+                 logit_bias: Optional[jnp.ndarray] = None,
+                 key_bias: Optional[jnp.ndarray] = None,
+                 box_prior=None, use_flash: bool = False):
         """attn_mask: (Q, K) or (B, Q, K) bool, True = BLOCKED (torch
         convention, reference dn_components.py:117-129).
         logit_bias: optional additive pre-softmax bias broadcastable to
         (B, n_heads, Q, K) — used by the dense decoder cross-attention's
         box-locality prior (an elementwise add XLA fuses into the QK^T
-        producer, so it costs no extra HBM round-trip)."""
+        producer, so it costs no extra HBM round-trip).
+        use_flash routes through the fused VMEM-resident kernel
+        (ops/flash_attn.py): the (B, M, Q, K) score tensor never touches
+        HBM; key padding arrives as additive ``key_bias`` (B, K) and the
+        box-locality prior as a decomposed ``box_prior`` (BoxPrior)
+        recombined on-chip — mutually exclusive with attn_mask/logit_bias."""
         B, Lq, _ = q.shape
         M = self.n_heads
         D = self.d_model // M
@@ -161,15 +168,28 @@ class MultiHeadAttention(nn.Module):
         qh = dense("q_proj")(q)
         kh = dense("k_proj")(k)
         vh = dense("v_proj")(v)
-        logits = jnp.einsum("bqmd,bkmd->bmqk", qh, kh) / math.sqrt(D)
-        if logit_bias is not None:
-            logits = logits + logit_bias.astype(logits.dtype)
-        if attn_mask is not None:
-            if attn_mask.ndim == 2:
-                blocked = attn_mask[None, None]
-            else:
-                blocked = attn_mask[:, None]
-            logits = jnp.where(blocked, jnp.finfo(logits.dtype).min, logits)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bmqk,bkmd->bqmd", weights, vh)
+        if use_flash:
+            from ..ops.flash_attn import flash_mha
+
+            assert attn_mask is None and logit_bias is None
+            if key_bias is None:
+                key_bias = jnp.zeros((B, k.shape[1]), jnp.float32)
+            out = flash_mha(
+                jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2),
+                jnp.swapaxes(vh, 1, 2), key_bias, box_prior, 128,
+                jax.default_backend() != "tpu",
+            )
+            out = jnp.swapaxes(out, 1, 2).astype(self.dtype)  # (B, Q, M, D)
+        else:
+            logits = jnp.einsum("bqmd,bkmd->bmqk", qh, kh) / math.sqrt(D)
+            if logit_bias is not None:
+                logits = logits + logit_bias.astype(logits.dtype)
+            if attn_mask is not None:
+                if attn_mask.ndim == 2:
+                    blocked = attn_mask[None, None]
+                else:
+                    blocked = attn_mask[:, None]
+                logits = jnp.where(blocked, jnp.finfo(logits.dtype).min, logits)
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bmqk,bkmd->bqmd", weights, vh)
         return nn.DenseGeneral(self.d_model, axis=(-2, -1), dtype=self.dtype, name="out_proj")(out)

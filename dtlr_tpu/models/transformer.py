@@ -168,6 +168,7 @@ class DecoderLayer(nn.Module):
     shared_offsets: bool = False
     ca_type: str = "deform"  # 'deform' (reference) | 'dense' (TPU MXU-native)
     box_bias: bool = False  # dense CA only: Gaussian box-locality log-prior
+    flash: bool = False  # fused VMEM-resident attention (ops/flash_attn.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -187,8 +188,13 @@ class DecoderLayer(nn.Module):
 
         def sa(t):
             q = k = t + query_pos
+            # flash path only when no CDN group-block mask is active
+            # (eval: self_attn_mask is None) — the fused kernel takes
+            # no (Q, Q) mask
             t2 = MultiHeadAttention(self.d_model, self.n_heads, dtype=self.dtype,
-                                    name="self_attn")(q, k, t, self_attn_mask)
+                                    name="self_attn")(
+                q, k, t, self_attn_mask,
+                use_flash=self.flash and self_attn_mask is None)
             return nn.LayerNorm(dtype=jnp.float32, name="norm2")(t + drop(t2))
 
         def ca(t):
@@ -200,22 +206,45 @@ class DecoderLayer(nn.Module):
                 # while the full dense attention costs the same 3.2 ms on
                 # the MXU with none of the gather machinery (measured;
                 # see PERFORMANCE.md). Config `decoder_ca='dense'`.
-                blocked = memory_key_padding_mask[:, None, :]  # (B, 1, S)
-                bias = None
+                # `flash` replaces the materialized score/bias chain with
+                # the VMEM-resident kernel (ops/flash_attn.py) — the
+                # round-4 roofline's prescribed HBM-traffic attack.
                 if self.box_bias:
                     # deform's box-guided locality prior as a dense-attention
                     # log-bias: Gaussian in box-normalized distance, per-head
                     # learnable sharpness (gamma -> 0 recovers plain dense, so
                     # warm starts from a no-bias checkpoint stay well-behaved).
-                    d2 = dense_box_prior_d2(reference_points_input, spatial_shapes)
                     log_gamma = self.param("ca_box_gamma", nn.initializers.zeros,
                                            (self.n_heads,), jnp.float32)
-                    bias = (-0.5 * jnp.exp(log_gamma)[None, :, None, None]
-                            * d2[:, None, :, :])
-                t2 = MultiHeadAttention(self.d_model, self.n_heads, dtype=self.dtype,
-                                        name="cross_attn")(
-                    t + query_pos, memory + memory_pos.astype(memory.dtype),
-                    memory, blocked, logit_bias=bias)
+                if self.flash:
+                    from ..ops.flash_attn import make_box_prior
+
+                    prior = None
+                    if self.box_bias:
+                        prior = make_box_prior(reference_points_input,
+                                               spatial_shapes,
+                                               jnp.exp(log_gamma))
+                    key_bias = jnp.where(memory_key_padding_mask, -1e9, 0.0
+                                         ).astype(jnp.float32)
+                    t2 = MultiHeadAttention(self.d_model, self.n_heads,
+                                            dtype=self.dtype,
+                                            name="cross_attn")(
+                        t + query_pos, memory + memory_pos.astype(memory.dtype),
+                        memory, key_bias=key_bias, box_prior=prior,
+                        use_flash=True)
+                else:
+                    blocked = memory_key_padding_mask[:, None, :]  # (B, 1, S)
+                    bias = None
+                    if self.box_bias:
+                        d2 = dense_box_prior_d2(reference_points_input,
+                                                spatial_shapes)
+                        bias = (-0.5 * jnp.exp(log_gamma)[None, :, None, None]
+                                * d2[:, None, :, :])
+                    t2 = MultiHeadAttention(self.d_model, self.n_heads,
+                                            dtype=self.dtype,
+                                            name="cross_attn")(
+                        t + query_pos, memory + memory_pos.astype(memory.dtype),
+                        memory, blocked, logit_bias=bias)
             else:
                 t2 = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
                                   self.n_points, shared_offsets=self.shared_offsets,
@@ -261,6 +290,7 @@ class DeformableTransformer(nn.Module):
     encoder_win: int = 32
     decoder_ca: str = "deform"  # or "dense" (TPU MXU-native cross-attn)
     dense_box_bias: bool = False  # dense CA: box-locality log-prior
+    flash_attn: bool = False  # fused VMEM-resident decoder attention
     use_checkpoint: bool = False  # remat encoder/decoder layers
     dtype: Any = jnp.float32
 
@@ -313,7 +343,7 @@ class DeformableTransformer(nn.Module):
             DecLayer(self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
                          self.dec_n_points, self.dropout, self.module_seq,
                          shared_offsets=self.shared_offsets, ca_type=self.decoder_ca,
-                         box_bias=self.dense_box_bias,
+                         box_bias=self.dense_box_bias, flash=self.flash_attn,
                          dtype=self.dtype, name=f"decoder_layer_{i}")
             for i in range(self.num_decoder_layers)
         ]

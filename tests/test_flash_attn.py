@@ -100,3 +100,36 @@ def test_grads_flow(inputs):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(qh, kh, vh, prior.gamma)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_decoder_layer_flash_parity():
+    """DecoderLayer with flash=True must match the materialized-score
+    baseline on the eval path (same params: the flag changes execution,
+    not parameterization)."""
+    from dtlr_tpu.models.transformer import DecoderLayer
+
+    d_model, n_heads, nq, s = 64, 4, 36, 200
+    b = 2
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    tgt = _rand(ks[0], b, nq, d_model)
+    qpos = _rand(ks[1], b, nq, d_model)
+    memory = _rand(ks[2], b, s, d_model)
+    mpos = _rand(ks[3], b, s, d_model)
+    refs = jax.random.uniform(ks[4], (b, nq, len(SPATIAL), 4),
+                              minval=0.05, maxval=0.9)
+    pad = jax.random.uniform(ks[5], (b, s)) < 0.15
+
+    def run(flash):
+        layer = DecoderLayer(d_model=d_model, d_ffn=128, n_heads=n_heads,
+                             ca_type="dense", box_bias=True, flash=flash)
+        return layer, dict(
+            tgt=tgt, query_pos=qpos, reference_points_input=refs,
+            memory=memory, spatial_shapes=SPATIAL,
+            memory_key_padding_mask=pad, memory_pos=mpos)
+
+    base, kw = run(False)
+    params = base.init(jax.random.PRNGKey(0), **kw)
+    out_base = base.apply(params, **kw)
+    fl, kw2 = run(True)
+    out_flash = fl.apply(params, **kw2)
+    np.testing.assert_allclose(out_flash, out_base, rtol=2e-4, atol=2e-4)
