@@ -188,13 +188,15 @@ class DecoderLayer(nn.Module):
 
         def sa(t):
             q = k = t + query_pos
-            # flash path only when no CDN group-block mask is active
-            # (eval: self_attn_mask is None) — the fused kernel takes
-            # no (Q, Q) mask
+            # self-attention stays on the materialized path even with
+            # flash on: its (Q, Q) scores are small (900^2, ~26 MB at
+            # B=8), and the no-prior kernel variant hits a Mosaic
+            # compile pathology on this backend (>7 min vs 7 s for the
+            # box-prior kernel at flagship shapes; probed on-chip,
+            # docs/evidence/r5_flash_probe.md)
             t2 = MultiHeadAttention(self.d_model, self.n_heads, dtype=self.dtype,
                                     name="self_attn")(
-                q, k, t, self_attn_mask,
-                use_flash=self.flash and self_attn_mask is None)
+                q, k, t, self_attn_mask)
             return nn.LayerNorm(dtype=jnp.float32, name="norm2")(t + drop(t2))
 
         def ca(t):
@@ -216,14 +218,14 @@ class DecoderLayer(nn.Module):
                     # warm starts from a no-bias checkpoint stay well-behaved).
                     log_gamma = self.param("ca_box_gamma", nn.initializers.zeros,
                                            (self.n_heads,), jnp.float32)
-                if self.flash:
+                # flash requires the box prior: the no-prior kernel
+                # variant compile-pathologizes on this backend (see sa)
+                if self.flash and self.box_bias:
                     from ..ops.flash_attn import make_box_prior
 
-                    prior = None
-                    if self.box_bias:
-                        prior = make_box_prior(reference_points_input,
-                                               spatial_shapes,
-                                               jnp.exp(log_gamma))
+                    prior = make_box_prior(reference_points_input,
+                                           spatial_shapes,
+                                           jnp.exp(log_gamma))
                     key_bias = jnp.where(memory_key_padding_mask, -1e9, 0.0
                                          ).astype(jnp.float32)
                     t2 = MultiHeadAttention(self.d_model, self.n_heads,

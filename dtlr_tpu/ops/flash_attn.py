@@ -119,7 +119,7 @@ def _mha_kernel(q_ref, kt_ref, v_ref, kbias_ref, out_ref, *, scale):
     q = q_ref[0, 0].astype(jnp.float32)           # (BQ, D)
     kt = kt_ref[0, 0].astype(jnp.float32)         # (D, S)
     logits = jnp.dot(q, kt, preferred_element_type=jnp.float32) * scale
-    logits = logits + kbias_ref[...]              # (1, S) -> broadcast
+    logits = logits + kbias_ref[0]                # (1, S) -> broadcast
     w = jax.nn.softmax(logits, axis=-1)
     v = v_ref[0, 0].astype(jnp.float32)           # (S, D)
     out_ref[0, 0] = jnp.dot(w, v, preferred_element_type=jnp.float32)
@@ -139,9 +139,9 @@ def _mha_box_kernel(q_ref, kt_ref, v_ref, kbias_ref, cx_ref, cy_ref,
     ihhs = jnp.dot(ihh_ref[0], onehot, preferred_element_type=jnp.float32)
     dx = (px_ref[...] - cxs) * ihws               # (1,S)-(BQ,S) broadcast
     dy = (py_ref[...] - cys) * ihhs
-    gamma = gamma_ref[0, 0]
+    gamma = gamma_ref[0, 0, 0]
     logits = logits - (0.5 * gamma) * (dx * dx + dy * dy)
-    logits = logits + kbias_ref[...]
+    logits = logits + kbias_ref[0]
     w = jax.nn.softmax(logits, axis=-1)
     v = v_ref[0, 0].astype(jnp.float32)
     out_ref[0, 0] = jnp.dot(w, v, preferred_element_type=jnp.float32)
@@ -160,7 +160,11 @@ def _flash_fwd(qh, kh, vh, key_bias, prior: Optional[BoxPrior],
     kp = _pad_axis(kh, 2, 128)
     vp = _pad_axis(vh, 2, 128)
     Sp = kp.shape[2]
-    kbias = _pad_axis(key_bias.astype(jnp.float32), 1, 128, value=-1e9)
+    # Mosaic requires the last two dims of every block shape to divide
+    # (8, 128) or equal the full array dims — rank-3 kbias (B, 1, Sp)
+    # makes its block (1, 1, Sp) legal where (1, Sp) of a (B, Sp) is not
+    kbias = _pad_axis(key_bias.astype(jnp.float32), 1, 128,
+                      value=-1e9)[:, None, :]
     ktp = jnp.swapaxes(kp, 2, 3)  # (B, M, D, Sp)
     grid = (B, M, Qp // BQ)
     scale = 1.0 / math.sqrt(D)
@@ -169,7 +173,7 @@ def _flash_fwd(qh, kh, vh, key_bias, prior: Optional[BoxPrior],
         pl.BlockSpec((1, 1, BQ, D), lambda b, m, i: (b, m, i, 0)),
         pl.BlockSpec((1, 1, D, Sp), lambda b, m, i: (b, m, 0, 0)),
         pl.BlockSpec((1, 1, Sp, D), lambda b, m, i: (b, m, 0, 0)),
-        pl.BlockSpec((1, Sp), lambda b, m, i: (b, 0)),
+        pl.BlockSpec((1, 1, Sp), lambda b, m, i: (b, 0, 0)),
     ]
     out_spec = pl.BlockSpec((1, 1, BQ, D), lambda b, m, i: (b, m, i, 0))
     out_shape = jax.ShapeDtypeStruct((B, M, Qp, D), jnp.float32)
@@ -209,7 +213,7 @@ def _flash_fwd(qh, kh, vh, key_bias, prior: Optional[BoxPrior],
             pl.BlockSpec((L, Sp), lambda b, m, i: (0, 0)),        # onehot
             pl.BlockSpec((1, Sp), lambda b, m, i: (0, 0)),        # px
             pl.BlockSpec((1, Sp), lambda b, m, i: (0, 0)),        # py
-            pl.BlockSpec((1, 1), lambda b, m, i: (m, 0)),         # gamma
+            pl.BlockSpec((1, 1, 1), lambda b, m, i: (m, 0, 0)),   # gamma
         ]
         out = pl.pallas_call(
             functools.partial(_mha_box_kernel, scale=scale),
@@ -220,7 +224,7 @@ def _flash_fwd(qh, kh, vh, key_bias, prior: Optional[BoxPrior],
             cost_estimate=cost,
             interpret=interpret,
         )(qp, ktp, vp, kbias, cxp, cyp, ihwp, ihhp, onehotp, pxp, pyp,
-          prior.gamma.reshape(M, 1))
+          prior.gamma.reshape(M, 1, 1))
     return out[:, :, :Q, :]
 
 
