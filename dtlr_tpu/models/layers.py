@@ -169,14 +169,15 @@ class MultiHeadAttention(nn.Module):
         kh = dense("k_proj")(k)
         vh = dense("v_proj")(v)
         if use_flash:
-            from ..ops.flash_attn import flash_mha
+            from ..ops.flash_attn import flash_mha, pick_block_q
 
             assert attn_mask is None and logit_bias is None
             if key_bias is None:
                 key_bias = jnp.zeros((B, k.shape[1]), jnp.float32)
             out = flash_mha(
                 jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2),
-                jnp.swapaxes(vh, 1, 2), key_bias, box_prior, 128,
+                jnp.swapaxes(vh, 1, 2), key_bias, box_prior,
+                pick_block_q(k.shape[1]),
                 jax.default_backend() != "tpu",
             )
             out = jnp.swapaxes(out, 1, 2).astype(self.dtype)  # (B, Q, M, D)

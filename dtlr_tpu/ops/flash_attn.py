@@ -62,6 +62,17 @@ def _pad_axis(x: jnp.ndarray, axis: int, mult: int,
     return jnp.pad(x, widths, constant_values=value)
 
 
+def pick_block_q(S: int) -> int:
+    """Query-block size that keeps the kernel's scoped-VMEM stack under
+    the 16 MB limit. The stack is dominated by (BQ, Sp) fp32 temporaries
+    (logits, softmax, box-prior dx/dy/level-selects): measured 28.68 MB
+    at BQ=128, Sp=12544 (big-geometry probe), i.e. ~5.7 fused buffers.
+    Budget ~12 MB => BQ * Sp <= ~670k, floored to the sublane quantum
+    (8) with BQ in [32, 128]."""
+    Sp = S + (-S) % 128
+    return int(min(128, max(32, (670_000 // max(Sp, 1)) // 8 * 8)))
+
+
 class BoxPrior(NamedTuple):
     """Per-query Gaussian locality prior ingredients, pre-level-select.
 
