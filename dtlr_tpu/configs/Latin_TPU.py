@@ -32,6 +32,14 @@ encoder_win = 32
 # reference-faithful decoder.
 decoder_ca = "dense"
 
+# box-guided locality prior on the dense decoder CA (Gaussian log-bias
+# in box-normalized distance, per-head learnable sharpness): deform
+# attention's locality inductive bias without its gathers. Trained into
+# every round-4/5 checkpoint; committed here so the flagship recipe is
+# reproducible from the configs alone (round-5 trunk memo,
+# docs/ROUND5_NOTES.md).
+dense_box_bias = True
+
 # ship raw uint8 pixels to the device and normalize there (ops/pixels.py):
 # 4x smaller tunnel transfers, 4x slower axon host-buffer leak; semantics
 # identical to the host-normalized f32 path.

@@ -44,6 +44,14 @@ def parse_args(argv=None):
     p.add_argument("--smart_mapping", action="store_true")
     p.add_argument("--path_old_charset", default=None)
     p.add_argument("--resume_finetuning", action="store_true")
+    p.add_argument("--full_model", action="store_true",
+                   help="train the full model in stage 1 instead of the "
+                        "heads-only optimizer — used to run a stage-2-style "
+                        "finetune directly from a committed .npz params "
+                        "snapshot when the orbax checkpoint a "
+                        "--resume_finetuning run would need no longer "
+                        "exists (the sandbox VM wipe deletes gitignored "
+                        "outputs/; only artifacts/*.npz survive)")
     return p.parse_args(argv)
 
 
@@ -242,7 +250,7 @@ def main(argv=None):
                 f" (smart_mapping={args.smart_mapping})"
             )
 
-    trainer.build(params, head_only=stage1)
+    trainer.build(params, head_only=stage1 and not args.full_model)
     if args.resume_finetuning:
         trainer.try_resume()
 

@@ -35,10 +35,16 @@ def rand(key, shape, dtype=jnp.bfloat16):
     return jax.random.normal(key, shape, jnp.float32).astype(dtype)
 
 
-def case(name, B, M, Q, S_shapes, D, block_q=128, iters=20, time_it=True):
+def case(name, B, M, Q, S_shapes, D, block_q=None, iters=20, time_it=True):
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
     qh = rand(ks[0], (B, M, Q, D))
     S = sum(h * w for h, w in S_shapes)
+    if block_q is None:
+        # match the model wiring (models/layers.py): adaptive block size
+        # keeps the kernel's scoped VMEM under the 16 MB limit at big S
+        from dtlr_tpu.ops.flash_attn import pick_block_q
+
+        block_q = pick_block_q(S)
     kh = rand(ks[1], (B, M, S, D))
     vh = rand(ks[2], (B, M, S, D))
     key_bias = jnp.where(
@@ -115,16 +121,17 @@ def case(name, B, M, Q, S_shapes, D, block_q=128, iters=20, time_it=True):
 def main():
     print(json.dumps({"backend": jax.default_backend(),
                       "devices": str(jax.devices())}))
+    which = set(sys.argv[1:]) or {"flagship", "big"}
     # flagship decoder-CA geometry: 128x1344 image -> S=3570
-    flag_shapes = ((16, 168), (8, 84), (4, 42), (2, 21))
-    case("flagship", B=8, M=8, Q=900, S_shapes=flag_shapes, D=32)
-    # phase-E' big geometry: 512x1344 -> S=14280
-    big_shapes = ((64, 168), (32, 84), (16, 42), (8, 21))
-    case("big_b4", B=4, M=8, Q=900, S_shapes=big_shapes, D=32,
-         iters=8)
-    # fallback sizing if VMEM rejects block_q=128 at S=14k
-    # (only reported; the wiring uses 128)
-    # case("big_b4_bq32", ...) -- run manually if big_b4 fails
+    if "flagship" in which:
+        flag_shapes = ((16, 168), (8, 84), (4, 42), (2, 21))
+        case("flagship", B=8, M=8, Q=900, S_shapes=flag_shapes, D=32)
+    # phase-E' big geometry: 512x1344 -> S=14280 (block_q adapts to 40
+    # via pick_block_q — the same size the model wiring uses)
+    if "big" in which:
+        big_shapes = ((64, 168), (32, 84), (16, 42), (8, 21))
+        case("big_b2", B=2, M=8, Q=900, S_shapes=big_shapes, D=32,
+             iters=8)
 
 
 if __name__ == "__main__":

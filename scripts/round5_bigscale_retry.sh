@@ -27,12 +27,17 @@ rm -rf "$SNAP" && mkdir -p "$SNAP"
 cp -r /root/repo/dtlr_tpu "$SNAP/"
 export PYTHONPATH="$SNAP:${PYTHONPATH:-}"
 
-OUT=/root/repo/outputs/finetune_r4b
 BIG=/root/repo/outputs/r5_bigscale
+# warm start: the r4b orbax checkpoint was wiped with the VM; the banked
+# npz snapshot (artifacts/r4ft_params.npz, the headline checkpoint) is
+# the durable copy — load it via --pretrain_dir + --full_model (stage-2
+# optimizer from an npz, see train/finetune.py)
+NPZ=${BIG_NPZ:-/root/repo/artifacts/r4ft_params.npz}
 BIG_OPTS="batch_size=${BIG_BS:-2} max_targets=256 'data_aug_scales=[480]' \
   data_aug_max_size=1333 image_w_max=1344 image_h_max=512 \
   synthetic_max_words=30 synthetic_charset=no_accent_space eval_epoch=1 \
   batch_norm_type=group dense_box_bias=True flash_attn=${BIG_FLASH:-True} \
+  use_checkpoint=True \
   synthetic_corpus_file=/root/repo/artifacts/corpus_words_train.txt \
   synthetic_corpus_val_file=/root/repo/artifacts/corpus_words_val.txt \
   synthetic_corpus_prob=0.5 eval_set_size=32 \
@@ -40,11 +45,10 @@ BIG_OPTS="batch_size=${BIG_BS:-2} max_targets=256 'data_aug_scales=[480]' \
 
 log "B retry: big-geometry adaptation (bs=${BIG_BS:-2} flash=${BIG_FLASH:-True})"
 rm -rf "$BIG" && mkdir -p "$BIG"
-cp -r "$OUT/checkpoint" "$BIG/checkpoint"
 eval timeout 7200 python -m dtlr_tpu.train.finetune \
   -c "$SNAP/dtlr_tpu/configs/Latin_CTC_TPU.py" \
   --dataset_file synthetic --output_dir "$BIG" \
-  --resume_finetuning --epochs 3 --seed 5 \
+  --pretrain_dir "$NPZ" --full_model --epochs 1 --seed 5 \
   --options max_iterations=${BIG_STEPS:-1000} $BIG_OPTS \
   || { log "B adapt FAILED"; exit 1; }
 
