@@ -102,6 +102,32 @@ def test_grads_flow(inputs):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+def test_multi_key_block_online_softmax():
+    """S > BLOCK_K forces nk > 1 key blocks: exercises the online-softmax
+    carry (running max/normalizer rescale across key-block grid steps)
+    that the big-geometry (S~14k) path relies on. S=1200 pads to 1536 =
+    3 x BLOCK_K(512), with the pad tail masked via the key bias."""
+    from dtlr_tpu.ops.flash_attn import BLOCK_K
+
+    S_big = 1200
+    assert S_big + (-S_big % 128) > BLOCK_K  # really multi-block
+    spatial = ((8, 100), (4, 50), (2, 50), (2, 50))  # sums to 1200
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    qh = _rand(ks[0], B, M, Q, D)
+    kh = _rand(ks[1], B, M, S_big, D)
+    vh = _rand(ks[2], B, M, S_big, D)
+    key_bias = jnp.where(
+        jax.random.uniform(ks[3], (B, S_big)) < 0.2, -1e9, 0.0
+    ).astype(jnp.float32)
+    ref = jax.random.uniform(ks[4], (B, Q, len(spatial), 4),
+                             minval=0.05, maxval=0.9)
+    prior = make_box_prior(ref, spatial, jnp.exp(_rand(ks[5], M) * 0.3))
+    for pr in (None, prior):
+        out = flash_mha(qh, kh, vh, key_bias, pr, 128, True)
+        want = dense_reference(qh, kh, vh, key_bias, pr)
+        np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-5)
+
+
 def test_decoder_layer_flash_parity():
     """DecoderLayer with flash=True must match the materialized-score
     baseline on the eval path (same params: the flag changes execution,
