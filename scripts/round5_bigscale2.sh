@@ -28,7 +28,11 @@ rm -rf "$SNAP" && mkdir -p "$SNAP"
 cp -r /root/repo/dtlr_tpu "$SNAP/"
 export PYTHONPATH="$SNAP:${PYTHONPATH:-}"
 
-BIG=/root/repo/outputs/r5_bigscale2
+# BIG_TAG names the leg (output dir outputs/r5_<tag>, npz artifacts/r5_<tag>.npz)
+# so deeper continuation legs (E''', ...) reuse this script with
+# BIG_TAG=bigscale3 BIG_NPZ=<fp32 snapshot of the previous leg> BIG_STEPS=...
+TAG=${BIG_TAG:-bigscale2}
+BIG=/root/repo/outputs/r5_$TAG
 # warm start: fp32 snapshot of the phase-E' 1000-step adapted checkpoint
 # (outputs/r5_bigscale/checkpoint @ step 1000; the fp16 bank of the same
 # state is artifacts/r5_bigscale_1k.npz)
@@ -53,7 +57,7 @@ rm -rf "$BIG" && mkdir -p "$BIG"
 eval timeout ${BIG_TIMEOUT:-12600} python -m dtlr_tpu.train.finetune \
   -c "$SNAP/dtlr_tpu/configs/Latin_CTC_TPU.py" \
   --dataset_file synthetic --output_dir "$BIG" \
-  --pretrain_dir "$NPZ" --full_model --epochs 1 --seed 6 \
+  --pretrain_dir "$NPZ" --full_model --epochs 1 --seed ${BIG_SEED:-6} \
   --options max_iterations=${BIG_STEPS:-4000} $BIG_OPTS
 rc=$?
 [ $rc -ne 0 ] && log "E'' adapt rc=$rc (timeout=124 keeps the checkpoint)"
@@ -61,20 +65,20 @@ rc=$?
 
 log "E'': banking durable npz before eval"
 env PYTHONPATH= JAX_PLATFORMS=cpu python scripts/snapshot_params.py \
-  "$BIG" artifacts/r5_bigscale_5k && \
-  bank_commit "Bank the phase-E'' big-geometry checkpoint npz" \
-    artifacts/r5_bigscale_5k.npz
+  "$BIG" artifacts/r5_${TAG}_params && \
+  bank_commit "Bank the $TAG big-geometry checkpoint npz" \
+    artifacts/r5_${TAG}_params.npz
 
 log "E'': adapted eval (fixed op TH 0.3 / NMS 0.5, same protocol as E')"
 eval timeout 2400 python -m dtlr_tpu.eval.evaluate \
   --dataset synthetic --mode val --config "$BIG/config_cfg.py" \
   --ckpt_dir "$BIG" --TH 0.3 --NMS 0.5 --max_images 64 --batch_size 4 \
   --options $BIG_OPTS synthetic_corpus_prob=1.0 \
-  > /root/repo/outputs/r5_bigscale2_eval.log 2>&1 \
-  && log "E'' eval: $(tail -1 /root/repo/outputs/r5_bigscale2_eval.log)" \
+  > /root/repo/outputs/r5_${TAG}_eval.log 2>&1 \
+  && log "E'' eval: $(tail -1 /root/repo/outputs/r5_${TAG}_eval.log)" \
   || log "E'' eval FAILED"
 
 bank_commit "Phase E'' continuation: +${BIG_STEPS:-4000} big-geometry steps + fixed-op eval" \
-  outputs/r5_bigscale2_eval.log outputs/r5_bigscale2/log.txt \
-  outputs/r5_bigscale2/info.txt outputs/r5_bigscale2/config_cfg.py
+  outputs/r5_${TAG}_eval.log outputs/r5_$TAG/log.txt \
+  outputs/r5_$TAG/info.txt outputs/r5_$TAG/config_cfg.py
 log "done"
